@@ -1,0 +1,72 @@
+"""Render configuration.
+
+The reference hard-codes every knob as a source constant (SURVEY.md §5.6:
+window 1920x1080 at src/main.cpp:9, NUM_PRIMARY_RAYS=4 / NUM_SHADOW_RAYS=3 at
+src/shaders/raygen.rgen:8-9, NUM_DENOISING_ITERATIONS=4 / DENOISING_STRENGTH=1
+at src/app/application.cppm:497-501).  Here they are a real config dataclass,
+hashable so it can be a static argument to jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """All render-time knobs (static under jit)."""
+
+    width: int = 1920
+    height: int = 1080
+
+    # Sampling (reference: raygen.rgen:8-9).
+    primary_rays: int = 4           # jittered primary rays (spp)
+    jitter: bool = True             # sub-pixel jitter (off for golden tests)
+    shadow_rays: int = 3            # shadow samples per light-triangle per spp
+    max_bounces: int = 1            # wavefront path-trace depth (ref recursion=4)
+
+    # Ray interval (reference: raygen.rgen:99-107).
+    t_min: float = 1e-3
+    t_max: float = 1e4
+    # Shadow rays stop this far short of the light sample so the light's own
+    # surface never occludes (reference: raygen.rgen:240 "lightDistance-0.5";
+    # scene-scale dependent, so small scenes should shrink it).
+    shadow_ray_margin: float = 0.5
+    # Shadow/secondary ray origin offset along the normal (raygen.rgen:229).
+    shadow_origin_offset: float = 0.01
+
+    # Denoiser (reference: application.cppm:395-434,497-501; denoise.comp).
+    denoise_iterations: int = 4
+    denoise_c_phi: float = 1.0      # color edge-stopping phi
+    denoise_n_phi: float = 0.3      # normal phi
+    denoise_p_phi: float = 0.5      # position phi
+
+    # Tonemap: "aces" (analytic, ref raygen.rgen:51-59), "lut", or "none".
+    tonemap: str = "aces"
+    gamma: float = 2.2
+
+    # Light-sampling pdf fudge factor (reference: raygen.rgen:193 "area*0.7").
+    light_pdf_scale: float = 0.7
+    # Flat radiance multipliers the reference bakes into raygen.rgen
+    # (:283 analytic *5.0, :262 sampled *10.0, :334 sun *20.0).
+    analytic_gain: float = 5.0
+    sampled_gain: float = 10.0
+    sun_gain: float = 20.0
+
+    # BVH / traversal.
+    use_bvh: bool = True
+    bvh_leaf_size: int = 4
+    max_traversal_steps: int = 512
+
+    # Ray-batch tile size for wavefront/pallas paths (rays per tile).
+    tile_rays: int = 8192
+
+    # Numerics: intersection math is always f32; shading may be bf16 later.
+    dtype: str = "float32"
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)
+
+    @property
+    def num_pixels(self) -> int:
+        return self.width * self.height

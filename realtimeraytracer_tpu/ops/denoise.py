@@ -1,0 +1,105 @@
+"""Edge-avoiding A-Trous wavelet denoiser.
+
+Behavioral parity with the reference's compute-shader denoiser
+(shaders/denoise.comp): a 5x5 Gaussian kernel dilated by step_width, with
+edge-stopping weights exp(-|dColor|^2/c_phi) * exp(-|dNormal|^2/(step^2 n_phi))
+* exp(-|dPos|^2/p_phi) (:79-92), out-of-bounds taps skipped (:71-72), run
+independently on the shadowed and unshadowed stochastic images for
+NUM_DENOISING_ITERATIONS iterations with step_width = i+1
+(application.cppm:395-434).
+
+Differences by design: the reference ping-pongs quantized rgba8 storage
+images; we stay in float32 the whole way (strictly more accurate) and drop
+the BGR channel swap (a presentation artifact, raygen.rgen:355-357).
+
+TPU-first: each tap is a statically-shifted full-image slice, so the whole
+filter is 25 fused VPU expressions per iteration — XLA turns this into a
+stencil; no gather and no data-dependent control flow.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+# 5x5 Gaussian (denoise.comp:28-34).
+_KERNEL = np.array(
+    [
+        [1, 4, 7, 4, 1],
+        [4, 16, 26, 16, 4],
+        [7, 26, 41, 26, 7],
+        [4, 16, 26, 16, 4],
+        [1, 4, 7, 4, 1],
+    ],
+    np.float32,
+)
+
+
+def _shift2d(img: jnp.ndarray, dy: int, dx: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Shift (H, W, C) by (dy, dx) with a validity mask for OOB texels."""
+    h, w = img.shape[0], img.shape[1]
+    out = jnp.roll(img, shift=(-dy, -dx), axis=(0, 1))
+    yy = jnp.arange(h)[:, None] + dy
+    xx = jnp.arange(w)[None, :] + dx
+    valid = ((yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)).astype(img.dtype)
+    return out, valid
+
+
+def atrous_iteration(
+    color: jnp.ndarray,      # (H, W, 3)
+    normal: jnp.ndarray,     # (H, W, 3) G-buffer
+    position: jnp.ndarray,   # (H, W, 3) G-buffer
+    step_width: int,
+    c_phi: float,
+    n_phi: float,
+    p_phi: float,
+) -> jnp.ndarray:
+    """One dilated 5x5 edge-avoiding pass (denoise.comp main)."""
+    acc = jnp.zeros_like(color)
+    cum = jnp.zeros(color.shape[:2] + (1,), color.dtype)
+    inv_step2 = 1.0 / float(step_width * step_width)
+    for ky in range(5):
+        for kx in range(5):
+            dy = (ky - 2) * step_width
+            dx = (kx - 2) * step_width
+            c_s, valid = _shift2d(color, dy, dx)
+            n_s, _ = _shift2d(normal, dy, dx)
+            p_s, _ = _shift2d(position, dy, dx)
+
+            dc = color - c_s
+            w_c = jnp.minimum(jnp.exp(-jnp.sum(dc * dc, -1) / c_phi), 1.0)
+            dn = normal - n_s
+            w_n = jnp.minimum(
+                jnp.exp(-(jnp.sum(dn * dn, -1) * inv_step2) / n_phi), 1.0
+            )
+            dp = position - p_s
+            w_p = jnp.minimum(jnp.exp(-jnp.sum(dp * dp, -1) / p_phi), 1.0)
+
+            w = (w_c * w_n * w_p)[..., None] * _KERNEL[ky, kx] * valid[..., None]
+            acc = acc + c_s * w
+            cum = cum + w
+    return acc / jnp.maximum(cum, 1e-5)
+
+
+def atrous_denoise(
+    color: jnp.ndarray,
+    normal: jnp.ndarray,
+    position: jnp.ndarray,
+    iterations: int = 4,
+    c_phi: float = 1.0,
+    n_phi: float = 0.3,
+    p_phi: float = 0.5,
+) -> jnp.ndarray:
+    """Full denoise: iterations passes with step_width = 1..iterations
+    (application.cppm:398-433 passes step_width = i+1)."""
+    out = color
+    for i in range(iterations):
+        out = atrous_iteration(out, normal, position, i + 1, c_phi, n_phi, p_phi)
+    return out
+
+
+def ratio_combine(analytic: jnp.ndarray, shadowed: jnp.ndarray,
+                  unshadowed: jnp.ndarray, eps: float = 1e-3) -> jnp.ndarray:
+    """Heitz-style ratio estimator: analytic * shadowed/max(unshadowed, eps)
+    (shaders/combine.comp:31-33)."""
+    return analytic * (shadowed / jnp.maximum(unshadowed, eps))

@@ -1,0 +1,127 @@
+"""Linearly Transformed Cosines: analytic polygonal-light integration.
+
+Behavioral parity with the reference's LTC evaluation (shaders/LTC.glsl:
+IntegrateEdgeVec :2-14, LTC_Evaluate :16-69) and its LUT usage in ray
+generation (raygen.rgen:143-157: uv = (roughness, sqrt(1-NdotV)) scaled by
+LUT_SCALE/LUT_BIAS; Minv assembled from ltc1; Fresnel weights from ltc2.xy;
+horizon-clipped form factor from ltc2.w).
+
+The technique is Heitz et al., "Real-Time Polygonal-Light Shading with
+Linearly Transformed Cosines" (SIGGRAPH 2016); the 64x64 tables are the
+public fits shipped with that work (see scripts/extract_ltc_luts.py).
+
+TPU-first shape discipline: everything is batched (R rays x LT light
+triangles) with pure elementwise math + two bilinear LUT gathers per shade —
+no per-polygon control flow.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from realtimeraytracer_tpu.ops.texture import sample_bilinear
+from realtimeraytracer_tpu.ops.vecmath import cross, dot, normalize
+
+LUT_SIZE = 64.0
+LUT_SCALE = (LUT_SIZE - 1.0) / LUT_SIZE
+LUT_BIAS = 0.5 / LUT_SIZE
+
+
+def ltc_lut_coords(roughness: jnp.ndarray, ndotv: jnp.ndarray):
+    """LUT (u, v) from roughness and N.V (raygen.rgen:143-145)."""
+    u = roughness * LUT_SCALE + LUT_BIAS
+    v = jnp.sqrt(jnp.maximum(1.0 - ndotv, 0.0)) * LUT_SCALE + LUT_BIAS
+    return u, v
+
+
+def fetch_ltc_params(ltc1: jnp.ndarray, ltc2: jnp.ndarray,
+                     roughness: jnp.ndarray, ndotv: jnp.ndarray):
+    """Sample both LUTs; returns (minv (...,3,3), t2 (...,4)).
+
+    Minv = [[a,0,b],[0,1,0],[c,0,d]] from ltc1 = (a,b,c,d)
+    (raygen.rgen:148-157; note GLSL mat3 columns == our rows transposed —
+    the GLSL constructor builds columns, so Minv[row][col] maps as below).
+    """
+    u, v = ltc_lut_coords(roughness, ndotv)
+    t1 = sample_bilinear(ltc1, u, v, wrap=False)
+    t2 = sample_bilinear(ltc2, u, v, wrap=False)
+    a, b, c, d = t1[..., 0], t1[..., 1], t1[..., 2], t1[..., 3]
+    zero = jnp.zeros_like(a)
+    one = jnp.ones_like(a)
+    # GLSL: mat3(vec3(a,0,b), vec3(0,1,0), vec3(c,0,d)) — columns.
+    # Row-major equivalent: [[a, 0, c], [0, 1, 0], [b, 0, d]].
+    minv = jnp.stack(
+        [
+            jnp.stack([a, zero, c], axis=-1),
+            jnp.stack([zero, one, zero], axis=-1),
+            jnp.stack([b, zero, d], axis=-1),
+        ],
+        axis=-2,
+    )
+    return minv, t2
+
+
+def integrate_edge_vec(v1: jnp.ndarray, v2: jnp.ndarray) -> jnp.ndarray:
+    """Cubic fit to the vector edge integral (LTC.glsl:2-14)."""
+    x = dot(v1, v2)
+    y = jnp.abs(x)
+    a = 0.8543985 + (0.4965155 + 0.0145206 * y) * y
+    b = 3.4175940 + (4.1616724 + y) * y
+    v = a / b
+    neg = 0.5 * jax_rsqrt(jnp.maximum(1.0 - x * x, 1e-7)) - v
+    theta_sintheta = jnp.where(x > 0.0, v, neg)
+    return cross(v1, v2) * theta_sintheta[..., None]
+
+
+def jax_rsqrt(x):
+    return jnp.reciprocal(jnp.sqrt(x))
+
+
+def ltc_evaluate(
+    n: jnp.ndarray,           # (..., 3) shading normal
+    view: jnp.ndarray,        # (..., 3) unit view dir (to camera)
+    p: jnp.ndarray,           # (..., 3) shading point
+    minv: jnp.ndarray,        # (..., 3, 3) LTC inverse matrix (identity = diffuse)
+    p0: jnp.ndarray, p1: jnp.ndarray, p2: jnp.ndarray,  # (..., 3) light tri (world)
+    light_normal: jnp.ndarray,  # (..., 3) unit geometric normal of the tri
+    two_sided: jnp.ndarray,   # (...,) bool
+    ltc2: jnp.ndarray,        # (64, 64, 4) for the horizon-clip form factor
+) -> jnp.ndarray:
+    """Scalar polygon irradiance (LTC.glsl:16-69). Broadcasts batch dims.
+
+    Keeps the reference's (quirkily named) sidedness logic verbatim:
+    `behind = dot(p0 - P, lightNormal) < 0` is TRUE when P is on the *front*
+    side; the z flip and the one-sided zeroing (!behind && !twoSided -> 0)
+    follow it exactly.
+    """
+    t1 = normalize(view - n * dot(view, n)[..., None])
+    t2v = cross(n, t1)
+    # rows of (Minv * transpose(mat3(T1,T2,N))): world -> cosine space.
+    basis = jnp.stack([t1, t2v, n], axis=-2)          # (..., 3, 3): rows T1,T2,N
+    m = jnp.matmul(minv, basis)                        # (..., 3, 3)
+
+    def xform(q):
+        return jnp.matmul(m, (q - p)[..., :, None])[..., 0]
+
+    l0 = normalize(xform(p0))
+    l1 = normalize(xform(p1))
+    l2 = normalize(xform(p2))
+
+    behind = dot(p0 - p, light_normal) < 0.0
+
+    vsum = (
+        integrate_edge_vec(l0, l1)
+        + integrate_edge_vec(l1, l2)
+        + integrate_edge_vec(l2, l0)
+    )
+    length = jnp.sqrt(jnp.maximum(dot(vsum, vsum), 1e-20))
+    z = vsum[..., 2] / length
+    z = jnp.where(behind, -z, z)
+
+    u = (z * 0.5 + 0.5) * LUT_SCALE + LUT_BIAS
+    v = length * LUT_SCALE + LUT_BIAS
+    scale = sample_bilinear(ltc2, u, v, wrap=False)[..., 3]
+
+    total = length * scale
+    total = jnp.where(jnp.logical_and(~behind, ~two_sided), 0.0, total)
+    return total

@@ -1,0 +1,99 @@
+"""Bilinear texture sampling (single maps, padded atlases, equirect HDRI).
+
+Replaces the reference's sampler2D machinery (linear filtering + repeat
+addressing, vulkan/memory/image_sampler.cppm:11-51; runtime-indexed texture
+arrays, raygen.rgen:28).  On TPU a texture fetch is a vectorized gather:
+four corner gathers + lerp on the VPU.  Atlases are padded (T, S, S, 4)
+stacks with per-texture true sizes so wrap math uses the real extent.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from realtimeraytracer_tpu.ops.vecmath import normalize
+
+TWO_PI = 6.28318530718
+PI = 3.14159265359
+
+
+def _wrap(i: jnp.ndarray, n) -> jnp.ndarray:
+    """Repeat addressing: floor-mod into [0, n)."""
+    return jnp.mod(i, n)
+
+
+def sample_bilinear(image: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
+                    wrap: bool = True) -> jnp.ndarray:
+    """Sample (H, W, C) at normalized (u, v) with GL half-texel convention.
+
+    u along width, v along height; texel centers at (i+0.5)/N.  wrap=True is
+    repeat addressing (the reference sampler), wrap=False clamps (LUTs).
+    Returns (..., C).
+    """
+    h, w = image.shape[0], image.shape[1]
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+    if wrap:
+        xi0, xi1 = _wrap(x0, w), _wrap(x0 + 1, w)
+        yi0, yi1 = _wrap(y0, h), _wrap(y0 + 1, h)
+    else:
+        xi0, xi1 = jnp.clip(x0, 0, w - 1), jnp.clip(x0 + 1, 0, w - 1)
+        yi0, yi1 = jnp.clip(y0, 0, h - 1), jnp.clip(y0 + 1, 0, h - 1)
+    c00 = image[yi0, xi0]
+    c01 = image[yi0, xi1]
+    c10 = image[yi1, xi0]
+    c11 = image[yi1, xi1]
+    top = c00 * (1.0 - fx) + c01 * fx
+    bot = c10 * (1.0 - fx) + c11 * fx
+    return top * (1.0 - fy) + bot * fy
+
+
+def sample_atlas(atlas: jnp.ndarray, sizes: jnp.ndarray, tex_id: jnp.ndarray,
+                 u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Sample a padded (T, S, S, 4) atlas at per-ray (tex_id, u, v).
+
+    tex_id < 0 is allowed (callers select constants afterwards); it is
+    clamped to 0 for the gather.  Repeat addressing over each texture's true
+    (h, w).  Returns (..., 4).
+    """
+    tid = jnp.clip(tex_id, 0, atlas.shape[0] - 1)
+    hw = sizes[tid].astype(jnp.float32)          # (..., 2) as (h, w)
+    h, w = hw[..., 0], hw[..., 1]
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    fx = (x - x0f)[..., None]
+    fy = (y - y0f)[..., None]
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+    wi = w.astype(jnp.int32)
+    hi = h.astype(jnp.int32)
+    xi0, xi1 = _wrap(x0, wi), _wrap(x0 + 1, wi)
+    yi0, yi1 = _wrap(y0, hi), _wrap(y0 + 1, hi)
+    c00 = atlas[tid, yi0, xi0]
+    c01 = atlas[tid, yi0, xi1]
+    c10 = atlas[tid, yi1, xi0]
+    c11 = atlas[tid, yi1, xi1]
+    top = c00 * (1.0 - fx) + c01 * fx
+    bot = c10 * (1.0 - fx) + c11 * fx
+    return top * (1.0 - fy) + bot * fy
+
+
+def sample_equirect(hdri: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
+    """Equirectangular environment lookup by world direction.
+
+    Parity with the miss shader (shaders/miss.rmiss:21-26):
+    u = atan2(z, x)/2pi + 0.5, v = 1 - acos(y)/pi, bilinear fetch, then
+    sRGB->linear decode is left to the caller.
+    """
+    d = normalize(dirs)
+    u = jnp.arctan2(d[..., 2], d[..., 0]) / TWO_PI + 0.5
+    v = 1.0 - jnp.arccos(jnp.clip(d[..., 1], -1.0, 1.0)) / PI
+    return sample_bilinear(hdri, u, v, wrap=True)

@@ -1,0 +1,88 @@
+"""Trace backends: how a ray batch is intersected against the scene.
+
+The functional stand-in for the reference's ``traceRayEXT`` + acceleration
+structure stack (BLAS/TLAS builds at vulkan/raytracing/blas.cppm,
+tlas.cppm; pipeline dispatch at ray_tracing_pipeline.cppm:212-214).  A
+backend is a pair of pure functions over ray batches:
+
+    closest(origins, dirs, t_min, t_max)  -> HitRecord (unified prim ids)
+    occluded(origins, dirs, t_min, t_max) -> bool mask  (any-hit semantics)
+
+Unified prim-id encoding: ids in [0, F) are triangles, [F, F+S) are analytic
+spheres.  Backends: "brute" (chunked all-pairs, MXU/VPU-friendly, exact) and
+"bvh" (LBVH traversal, ops/traversal.py) — both return identical records so
+the shading code is backend-agnostic.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax.numpy as jnp
+
+from realtimeraytracer_tpu.config import RenderConfig
+from realtimeraytracer_tpu.ops import intersect
+from realtimeraytracer_tpu.scene.gpu_scene import GPUScene
+
+
+class TraceBackend(NamedTuple):
+    closest: Callable
+    occluded: Callable
+    num_tris: int
+    num_spheres: int
+
+
+def _merge_sphere_hits(tri_hit: intersect.HitRecord,
+                       sph_hit: intersect.HitRecord,
+                       num_tris: int) -> intersect.HitRecord:
+    use_sph = sph_hit.t < tri_hit.t
+    return intersect.HitRecord(
+        t=jnp.where(use_sph, sph_hit.t, tri_hit.t),
+        prim_id=jnp.where(
+            use_sph,
+            jnp.where(sph_hit.prim_id >= 0, sph_hit.prim_id + num_tris, -1),
+            tri_hit.prim_id,
+        ),
+        u=jnp.where(use_sph, sph_hit.u, tri_hit.u),
+        v=jnp.where(use_sph, sph_hit.v, tri_hit.v),
+    )
+
+
+def make_bruteforce_backend(gpu: GPUScene, cfg: RenderConfig) -> TraceBackend:
+    """All-pairs chunked intersection — exact, no build step; the right
+    choice for small scenes and the leaf primitive for the BVH."""
+    num_tris = gpu.faces.shape[0]
+    num_spheres = gpu.sph_center.shape[0]
+
+    def closest(origins, dirs, t_min, t_max):
+        hit = intersect.intersect_tris_bruteforce(
+            origins, dirs, gpu.vertices, gpu.faces, t_min, t_max
+        )
+        if num_spheres:
+            sph = intersect.intersect_spheres(
+                origins, dirs, gpu.sph_center, gpu.sph_radius, t_min, t_max
+            )
+            hit = _merge_sphere_hits(hit, sph, num_tris)
+        return hit
+
+    def occluded(origins, dirs, t_min, t_max):
+        occ = intersect.occluded_tris_bruteforce(
+            origins, dirs, gpu.vertices, gpu.faces, t_min, t_max
+        )
+        if num_spheres:
+            sph = intersect.intersect_spheres(
+                origins, dirs, gpu.sph_center, gpu.sph_radius, t_min, jnp.inf
+            )
+            occ = occ | (sph.t < jnp.broadcast_to(t_max, sph.t.shape))
+        return occ
+
+    return TraceBackend(closest=closest, occluded=occluded,
+                        num_tris=num_tris, num_spheres=num_spheres)
+
+
+def make_backend(gpu: GPUScene, cfg: RenderConfig) -> TraceBackend:
+    if cfg.use_bvh and gpu.has_bvh:
+        from realtimeraytracer_tpu.render.bvh_backend import make_bvh_backend
+
+        return make_bvh_backend(gpu, cfg)
+    return make_bruteforce_backend(gpu, cfg)

@@ -1,0 +1,278 @@
+"""The fused single-pass renderer ("megakernel" wavefront of width R).
+
+This is the TPU re-design of the reference's master ray-generation shader
+(shaders/raygen.rgen:71-364): per pixel it traces jittered primary rays and
+produces THREE radiance estimates — (a) analytic direct light via LTC,
+(b) stochastic unshadowed, (c) stochastic shadowed — plus a normal/position
+G-buffer, which the pipeline layer then denoises and ratio-combines
+(Heitz-style "analytic illumination x stochastic shadow ratio").
+
+Where the GPU runs one SIMT thread per pixel, here the *whole image* is one
+ray batch flowing through vectorized ops: closest-hit, surface resolution,
+a lax.scan over light triangles (each step shades all R rays against one
+light triangle: stochastic samples + shadow casts + analytic LTC), then the
+directional sun.  No per-ray control flow — masks everywhere — so XLA can
+fuse the entire shade into large VPU kernels.
+
+Deliberate deviations from the reference (documented, all strictly better):
+  * float32 accumulation end-to-end (ref stores rgba8 between passes);
+  * no BGR channel swap (presentation artifact, raygen.rgen:355-357);
+  * shadow-sample seeds are decorrelated per light triangle and per spp
+    (the ref reuses identical seeds across all of them, raygen.rgen:213);
+  * each light triangle's stochastic estimate is an independent mean over
+    shadow samples (the ref accidentally re-divides earlier triangles'
+    accumulator by NUM_SHADOW_RAYS again per triangle, raygen.rgen:269-271).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from realtimeraytracer_tpu.config import RenderConfig
+from realtimeraytracer_tpu.ops import rng
+from realtimeraytracer_tpu.ops.camera_rays import ViewportFrame, generate_rays
+from realtimeraytracer_tpu.ops.ltc import fetch_ltc_params, ltc_evaluate
+from realtimeraytracer_tpu.ops.shading import (
+    base_color_split,
+    cook_torrance_specular,
+    lambert_diffuse,
+)
+from realtimeraytracer_tpu.ops.texture import sample_equirect
+from realtimeraytracer_tpu.ops.tonemap import srgb_to_linear, tonemap
+from realtimeraytracer_tpu.ops.vecmath import cross, dot, normalize
+from realtimeraytracer_tpu.render.backends import TraceBackend, make_backend
+from realtimeraytracer_tpu.render.surface import resolve_surface
+from realtimeraytracer_tpu.scene.gpu_scene import GPUScene
+
+
+class SampleRadiance(NamedTuple):
+    """Per-ray output of one primary-sample shade (raygen's accumulators)."""
+
+    analytic: jnp.ndarray    # (R, 3)
+    shadowed: jnp.ndarray    # (R, 3)
+    unshadowed: jnp.ndarray  # (R, 3)
+    normal: jnp.ndarray      # (R, 3) — zero on miss/light hits
+    position: jnp.ndarray    # (R, 3)
+
+
+def shade_sample(
+    gpu: GPUScene,
+    cfg: RenderConfig,
+    origins: jnp.ndarray,
+    dirs: jnp.ndarray,
+    pixel_seed: jnp.ndarray,   # (R,) uint32: px*733 + py*1933 + frame
+    backend: TraceBackend,
+    sample_index: int = 0,
+) -> SampleRadiance:
+    R = origins.shape[0]
+    hit = backend.closest(origins, dirs, cfg.t_min, cfg.t_max)
+    surf = resolve_surface(gpu, hit, origins, dirs)
+
+    # --- miss: equirect HDRI environment (miss.rmiss:21-26) --------------
+    env = srgb_to_linear(sample_equirect(gpu.hdri, dirs)) * gpu.env_color
+    base = (
+        jnp.where(surf.missed[:, None], env, 0.0)
+        + jnp.where(surf.hit_light[:, None], surf.light_color, 0.0)
+    )
+
+    # --- surface shading set-up (raygen.rgen:124-157) --------------------
+    p = surf.position
+    n = surf.normal
+    view = normalize(origins - p)
+    m_diffuse, m_specular = base_color_split(surf.albedo, surf.metallic)
+    ndotv = jnp.clip(dot(n, view), 0.0, 1.0)
+    minv, t2 = fetch_ltc_params(gpu.ltc1, gpu.ltc2, surf.roughness, ndotv)
+    fresnel = (
+        m_specular * t2[..., 0:1] + (1.0 - m_specular) * t2[..., 1:2]
+    )  # (R, 3) — raygen.rgen:280-281
+    shadow_origin = p + n * cfg.shadow_origin_offset
+    lam = lambert_diffuse(surf.albedo, surf.metallic)  # (R, 3)
+
+    identity = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (R, 3, 3))
+    num_s = cfg.shadow_rays
+    valid_f = surf.valid.astype(jnp.float32)[:, None]
+
+    # --- per-light-triangle loop (raygen.rgen:164-285), scanned ----------
+    def light_tri_step(carry, lt):
+        analytic_a, shadowed_a, unshadowed_a = carry
+        (p0, p1, p2, lcolor, lintensity, ltwo, lvalid, lt_idx) = lt
+
+        nl = cross(p2 - p1, p0 - p1)
+        area = jnp.sqrt(jnp.maximum(dot(nl, nl), 0.0)) * 0.5
+        inv_pdf = area * cfg.light_pdf_scale          # 1/pdf, pdf=1/(a*0.7)
+        nlu = normalize(nl)
+
+        front = dot(nlu[None, :], p - p0[None, :]) >= 0.0          # (R,)
+        active = (lvalid & (ltwo | front)) & surf.valid            # (R,)
+        active_f = active.astype(jnp.float32)[:, None]
+
+        # Stochastic samples (R, S).
+        s_idx = jnp.arange(num_s, dtype=jnp.uint32)[None, :]
+        seed = (
+            pixel_seed[:, None]
+            + s_idx
+            + lt_idx.astype(jnp.uint32) * jnp.uint32(7919)
+            + jnp.uint32(sample_index * 15485863)
+        )
+        r1 = rng.uniform(seed)
+        r2 = rng.uniform(seed + jnp.uint32(100))
+        over = r1 + r2 > 1.0
+        r1 = jnp.where(over, 1.0 - r1, r1)
+        r2 = jnp.where(over, 1.0 - r2, r2)
+
+        lpos = (
+            p0[None, None, :]
+            + r1[..., None] * (p1 - p0)[None, None, :]
+            + r2[..., None] * (p2 - p0)[None, None, :]
+        )                                                          # (R, S, 3)
+        delta = lpos - p[:, None, :]
+        dist = jnp.sqrt(jnp.maximum(jnp.sum(delta * delta, -1), 1e-20))
+        sdir = delta / dist[..., None]
+
+        so = jnp.broadcast_to(shadow_origin[:, None, :], sdir.shape).reshape(-1, 3)
+        occ = backend.occluded(
+            so, sdir.reshape(-1, 3), cfg.t_min,
+            (dist - cfg.shadow_ray_margin).reshape(-1),
+        ).reshape(R, num_s)
+        lit = jnp.where(occ, 0.0, 1.0)
+
+        nb = n[:, None, :]
+        vb = view[:, None, :]
+        ndotl = jnp.maximum(jnp.sum(nb * sdir, -1), 0.1)           # (R, S)
+        spec = cook_torrance_specular(
+            vb, sdir, nb, surf.roughness[:, None], m_specular[:, None, :]
+        )                                                          # (R, S, 3)
+        brdf = spec + lam[:, None, :]
+        atten = 1.0 / jnp.maximum(dist * dist, 1e-20)
+        radiance = (
+            lcolor[None, None, :]
+            * lintensity
+            * (ndotl * atten)[..., None]
+            * cfg.sampled_gain
+        )
+        contrib = brdf * radiance * inv_pdf
+        shadowed_s = jnp.mean(lit[..., None] * contrib, axis=1)
+        unshadowed_s = jnp.mean(contrib, axis=1)
+
+        # Analytic LTC (raygen.rgen:277-283).
+        two_b = jnp.broadcast_to(ltwo, (R,))
+        diffuse = ltc_evaluate(n, view, p, identity, p0, p1, p2, nlu, two_b, gpu.ltc2)
+        specular = ltc_evaluate(n, view, p, minv, p0, p1, p2, nlu, two_b, gpu.ltc2)
+        analytic_c = (
+            lcolor[None, :]
+            * lintensity
+            * (specular[:, None] * fresnel + m_diffuse * diffuse[:, None])
+            * cfg.analytic_gain
+        )
+
+        return (
+            analytic_a + analytic_c * active_f,
+            shadowed_a + shadowed_s * active_f,
+            unshadowed_a + unshadowed_s * active_f,
+        ), None
+
+    # Carry derived from ray arrays: keeps the varying-axis type consistent
+    # under shard_map (VMA rules for scan carries).
+    zeros = jnp.zeros_like(origins)
+    lt_count = gpu.lt_v0.shape[0]
+    lts = (
+        gpu.lt_v0, gpu.lt_v1, gpu.lt_v2,
+        gpu.lt_color, gpu.lt_intensity, gpu.lt_two_sided, gpu.lt_valid,
+        jnp.arange(lt_count, dtype=jnp.int32),
+    )
+    (analytic, shadowed, unshadowed), _ = jax.lax.scan(
+        light_tri_step, (zeros, zeros, zeros), lts
+    )
+
+    # --- directional sun (raygen.rgen:288-338) ---------------------------
+    sun_ndotl_raw = dot(n, gpu.sun_direction[None, :])
+    sun_active = surf.valid & (sun_ndotl_raw > 0.0) & (gpu.sun_intensity > 0.0)
+    sun_occ = backend.occluded(
+        shadow_origin, jnp.broadcast_to(gpu.sun_direction, (R, 3)),
+        cfg.t_min, jnp.full((R,), cfg.t_max, jnp.float32),
+    )
+    sun_lit = jnp.where(sun_occ, 0.0, 1.0)[:, None]
+    sun_ndotl = jnp.maximum(sun_ndotl_raw, 1e-4)
+    # Parity quirk: the ref clamps NdotV from *below* at 5.0 (raygen.rgen:322),
+    # making the sun's specular lobe ~1/20 scale. Kept for behavioral parity.
+    sun_spec = cook_torrance_specular(
+        view, jnp.broadcast_to(gpu.sun_direction, (R, 3)), n,
+        surf.roughness, m_specular, min_ndotv=5.0, min_ndotl=1e-4,
+    )
+    sun_brdf = sun_spec + lam
+    sun_l = gpu.sun_color[None, :] * gpu.sun_intensity * sun_ndotl[:, None] * cfg.sun_gain
+    sun_af = sun_active.astype(jnp.float32)[:, None]
+    analytic = analytic + sun_brdf * sun_l * sun_af
+    shadowed = shadowed + sun_lit * sun_brdf * sun_l * sun_af
+    unshadowed = unshadowed + sun_brdf * sun_l * sun_af
+
+    g_mask = surf.valid.astype(jnp.float32)[:, None]
+    return SampleRadiance(
+        analytic=analytic + base,
+        shadowed=shadowed + base,
+        unshadowed=unshadowed + base,
+        normal=n * g_mask,
+        position=p * g_mask,
+    )
+
+
+class RenderComponents(NamedTuple):
+    """Tonemapped per-pixel component images (H, W, 3) + G-buffer."""
+
+    analytic: jnp.ndarray
+    shadowed: jnp.ndarray
+    unshadowed: jnp.ndarray
+    normal: jnp.ndarray
+    position: jnp.ndarray
+
+
+def render_components(
+    gpu: GPUScene,
+    frame: ViewportFrame,
+    cfg: RenderConfig,
+    frame_index: int | jnp.ndarray = 0,
+    backend: TraceBackend | None = None,
+) -> RenderComponents:
+    """Trace primary_rays jittered samples per pixel and average — the body
+    of raygen.rgen main (:71-364), minus the denoise/combine passes."""
+    if backend is None:
+        backend = make_backend(gpu, cfg)
+    h, w = cfg.height, cfg.width
+    R = h * w
+    py = jnp.arange(h, dtype=jnp.uint32)[:, None]
+    px = jnp.arange(w, dtype=jnp.uint32)[None, :]
+    pixel_seed = (
+        px * jnp.uint32(733) + py * jnp.uint32(1933) + jnp.uint32(frame_index)
+    ).reshape(-1)
+
+    acc = None
+    for s in range(cfg.primary_rays):
+        o, d = generate_rays(frame, w, h, sample_index=s, jitter=cfg.jitter)
+        out = shade_sample(gpu, cfg, o, d, pixel_seed, backend, sample_index=s)
+        acc = out if acc is None else SampleRadiance(*(a + b for a, b in zip(acc, out)))
+
+    inv = 1.0 / cfg.primary_rays
+    tm = lambda x: tonemap(x * inv, cfg.tonemap, cfg.gamma)
+    img = lambda x: x.reshape(h, w, 3)
+    return RenderComponents(
+        analytic=img(tm(acc.analytic)),
+        shadowed=img(tm(acc.shadowed)),
+        unshadowed=img(tm(acc.unshadowed)),
+        normal=img(normalize(acc.normal * inv)),
+        position=img(acc.position * inv),
+    )
+
+
+def render(scene, cfg: RenderConfig | None = None, frame_index: int = 0) -> jnp.ndarray:
+    """Convenience one-call render: Scene (or GPUScene+frame) -> (H, W, 3).
+
+    Full pipeline semantics (trace -> denoise -> ratio combine) live in
+    render.pipeline; this returns that final image.
+    """
+    from realtimeraytracer_tpu.render.pipeline import render_pipeline
+
+    return render_pipeline(scene, cfg, frame_index=frame_index)

@@ -1,0 +1,73 @@
+"""Full frame pipeline: trace -> A-Trous denoise x N -> ratio combine.
+
+The analogue of the reference's per-frame pass sequence
+(app/application.cppm:352-480): [RAYTRACE] raygen produces analytic /
+shadowed / unshadowed + G-buffer, [DENOISE x4] ping-pong A-Trous on the two
+stochastic images (:395-434), [COMBINE] final = analytic * shadowed /
+max(unshadowed, 1e-3) (shaders/combine.comp:31-33).  Unlike the reference
+— which serializes every pass with device.waitIdle() — the whole pipeline is
+jitted XLA program; the compiler owns scheduling and fusion.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from realtimeraytracer_tpu.config import RenderConfig
+from realtimeraytracer_tpu.ops.camera_rays import ViewportFrame
+from realtimeraytracer_tpu.ops.denoise import atrous_denoise, ratio_combine
+from realtimeraytracer_tpu.render.backends import TraceBackend, make_backend
+from realtimeraytracer_tpu.render.megakernel import RenderComponents, render_components
+from realtimeraytracer_tpu.scene.gpu_scene import GPUScene
+
+
+def denoise_and_combine(comp: RenderComponents, cfg: RenderConfig) -> jnp.ndarray:
+    """Denoise the stochastic pair, then ratio-combine with the analytic."""
+    if cfg.denoise_iterations > 0:
+        shadowed = atrous_denoise(
+            comp.shadowed, comp.normal, comp.position,
+            cfg.denoise_iterations, cfg.denoise_c_phi,
+            cfg.denoise_n_phi, cfg.denoise_p_phi,
+        )
+        unshadowed = atrous_denoise(
+            comp.unshadowed, comp.normal, comp.position,
+            cfg.denoise_iterations, cfg.denoise_c_phi,
+            cfg.denoise_n_phi, cfg.denoise_p_phi,
+        )
+    else:
+        shadowed, unshadowed = comp.shadowed, comp.unshadowed
+    return ratio_combine(comp.analytic, shadowed, unshadowed)
+
+
+def render_pipeline_gpu(
+    gpu: GPUScene,
+    frame: ViewportFrame,
+    cfg: RenderConfig,
+    frame_index: int | jnp.ndarray = 0,
+    backend: TraceBackend | None = None,
+) -> jnp.ndarray:
+    comp = render_components(gpu, frame, cfg, frame_index, backend)
+    return denoise_and_combine(comp, cfg)
+
+
+def render_pipeline(scene, cfg: RenderConfig | None = None,
+                    frame_index: int = 0) -> jnp.ndarray:
+    """Host entry: compile the Scene, build the camera frame, run the
+    jitted pipeline. Returns an (H, W, 3) float32 image in [0, 1]."""
+    import jax
+
+    from realtimeraytracer_tpu.scene.scene import Scene
+
+    cfg = cfg or RenderConfig()
+    if isinstance(scene, Scene):
+        gpu = scene.compile()
+        frame = scene.camera.viewport_frame(cfg.width, cfg.height)
+    else:
+        raise TypeError(
+            "render_pipeline(scene) expects a Scene; for compiled scenes use "
+            "render_pipeline_gpu(gpu, frame, cfg)")
+
+    fn = jax.jit(
+        lambda g, f, i: render_pipeline_gpu(g, f, cfg, i),
+    )
+    return fn(gpu, frame, jnp.uint32(frame_index))

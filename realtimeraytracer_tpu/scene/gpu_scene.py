@@ -1,0 +1,98 @@
+"""GPUScene: the compiled, device-resident, differentiable scene pytree.
+
+TPU-native replacement for the reference's whole GPU-scene apparatus —
+vertex/index device buffers + ObjectInfo/LightInfo SSBOs + TLAS instance
+table (app/setup/create_scene.cppm:39-215, app/setup/geometry_builder.cppm:
+50-212, vulkan/raytracing/tlas.cppm:44-149).  Instead of descriptor sets and
+acceleration-structure handles, the scene is one flat NamedTuple of jnp
+arrays: a pytree that can be passed through jit, sharded, and differentiated
+(grads flow to vertices, material constants, and light parameters).
+
+Conventions carried over from the reference:
+  * lights-first ordering — light geometry occupies the first object slots,
+    so emissive hits are detected by object id < num_lights
+    (tlas.cppm:77-82, closesthit.rchit:46-50);
+  * transforms are baked to world space at compile (the TLAS equivalent);
+  * per-object material constants with optional texture indices
+    (raycommon.glsl:29-51).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+
+class GPUScene(NamedTuple):
+    # --- triangle soup (world space; light triangles first) -------------
+    vertices: jnp.ndarray     # (V, 3) f32
+    normals: jnp.ndarray      # (V, 3) f32
+    uvs: jnp.ndarray          # (V, 2) f32
+    faces: jnp.ndarray        # (F, 3) i32
+    face_obj: jnp.ndarray     # (F,)  i32 — object-table row per face
+
+    # --- object table (lights first, then meshes, then spheres) ---------
+    obj_color: jnp.ndarray    # (O, 3) f32 (linear)
+    obj_specular: jnp.ndarray # (O,) f32 — roughness = 1 - specular
+    obj_metallic: jnp.ndarray # (O,) f32
+    obj_is_light: jnp.ndarray # (O,) i32
+    obj_tex: jnp.ndarray      # (O, 4) i32 — color/spec/metal/opacity, -1=const
+
+    # --- analytic spheres ------------------------------------------------
+    sph_center: jnp.ndarray   # (S, 3) f32
+    sph_radius: jnp.ndarray   # (S,) f32
+    sph_obj: jnp.ndarray      # (S,) i32
+
+    # --- light triangle table (world space, for sampling + LTC) ---------
+    lt_v0: jnp.ndarray        # (LT, 3) f32
+    lt_v1: jnp.ndarray
+    lt_v2: jnp.ndarray
+    lt_color: jnp.ndarray     # (LT, 3) f32
+    lt_intensity: jnp.ndarray # (LT,) f32
+    lt_two_sided: jnp.ndarray # (LT,) bool
+    lt_valid: jnp.ndarray     # (LT,) bool
+
+    # --- sun (raygen.rgen:288-292, promoted to scene data) --------------
+    sun_direction: jnp.ndarray  # (3,) f32, normalized, toward the light
+    sun_color: jnp.ndarray      # (3,) f32
+    sun_intensity: jnp.ndarray  # () f32
+
+    # --- environment ------------------------------------------------------
+    hdri: jnp.ndarray         # (He, We, 3) f32 linear; (1,1,3) constant if none
+    env_color: jnp.ndarray    # (3,) f32 multiplier on the HDRI sample
+
+    # --- LTC lookup tables (64x64x4) -------------------------------------
+    ltc1: jnp.ndarray
+    ltc2: jnp.ndarray
+
+    # --- texture atlas ----------------------------------------------------
+    tex_atlas: jnp.ndarray    # (T, S, S, 4) f32, padded square stack
+    tex_size: jnp.ndarray     # (T, 2) i32 actual (h, w) per texture
+
+    # --- LBVH (ops/bvh.py; single-node dummies when not built) -----------
+    bvh_node_min: jnp.ndarray   # (N, 3) f32
+    bvh_node_max: jnp.ndarray   # (N, 3) f32
+    bvh_node_skip: jnp.ndarray  # (N,) i32
+    bvh_node_first: jnp.ndarray # (N,) i32
+    bvh_node_count: jnp.ndarray # (N,) i32
+    bvh_tri_v0: jnp.ndarray     # (T, 3) f32 Morton-sorted
+    bvh_tri_v1: jnp.ndarray
+    bvh_tri_v2: jnp.ndarray
+    bvh_tri_id: jnp.ndarray     # (T,) i32 sorted -> original triangle id
+
+    @property
+    def has_bvh(self) -> bool:
+        return self.bvh_node_min.shape[0] > 1
+
+    @property
+    def num_tris(self) -> int:
+        return self.faces.shape[0]
+
+    @property
+    def num_light_tris(self) -> int:
+        return self.lt_v0.shape[0]
+
+    @property
+    def num_spheres(self) -> int:
+        return self.sph_center.shape[0]
