@@ -36,11 +36,15 @@ def main() -> None:
     gpu = scene.compile(bvh_leaf_size=cfg.bvh_leaf_size)
     frame = scene.camera.viewport_frame(width, height)
 
+    from realtimeraytracer_tpu.ops.camera_rays import block_permutation
+
+    perm, _ = block_permutation(width, height)
+
     @jax.jit
     def trace(g, fr, sample):
         backend = make_backend(g, cfg)
         o, d = generate_rays(fr, width, height, sample_index=sample, jitter=True)
-        hit = backend.closest(o, d, cfg.t_min, cfg.t_max)
+        hit = backend.closest(o[perm], d[perm], cfg.t_min, cfg.t_max)
         return hit.t, hit.prim_id
 
     n_rays = width * height

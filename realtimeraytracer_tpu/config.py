@@ -55,8 +55,30 @@ class RenderConfig:
 
     # BVH / traversal.
     use_bvh: bool = True
-    bvh_leaf_size: int = 4
-    max_traversal_steps: int = 512
+    bvh_leaf_size: int = 4          # must be <= 15 (packed in 4 bits)
+    # Safety valve on traversal loops; must exceed the worst-case visited
+    # node count or hits are silently dropped (tests compare vs brute force).
+    max_traversal_steps: int = 16384
+    # Alpha-tested transparency (opacity.rahit parity: ignore hits with
+    # sampled alpha < 0.9). alpha_rounds bounds transparent layers per ray.
+    # None = auto (enabled when any material carries an opacity map).
+    alpha_test: bool | None = None
+    alpha_rounds: int = 4
+    alpha_threshold: float = 0.9
+
+    # Trace backend: "auto" (packet when a BVH exists, else brute),
+    # "brute", "lane" (per-ray gather traversal), "packet".
+    backend: str = "auto"
+    packet_size: int = 64           # rays per packet (packet backend)
+    traversal_unroll: int = 8       # skip-link steps per while-loop iteration
+    # Wide backend (render/wide_backend.py): dense cluster culling + MXU
+    # Baldwin-Weber intersection.
+    cluster_size: int = 256         # triangles per cluster
+    wide_tile: int = 128            # rays per tile
+    max_cluster_visits: int = 64    # safety cap on ordered cluster visits
+    # Ray ordering fed to the trace backends: "block" groups rays into
+    # coherent 2-D pixel blocks (tight tile frusta); "raster" is row-major.
+    ray_order: str = "block"
 
     # Ray-batch tile size for wavefront/pallas paths (rays per tile).
     tile_rays: int = 8192

@@ -132,6 +132,68 @@ def occluded(o, d, verts, faces, sph_c, sph_r, t_min, t_max):
     return (p >= 0) & (t < t_max)
 
 
+def _hit_alpha_np(g, prim, bu, bv):
+    """Opacity of each hit (1.0 when no opacity map / sphere / miss)."""
+    faces = g["faces"]
+    nt = len(faces)
+    is_tri = (prim >= 0) & (prim < nt)
+    tid = np.clip(prim, 0, max(nt - 1, 0))
+    f = faces[tid]
+    w0 = (1 - bu - bv)[:, None]
+    uv = (g["uvs"][f[:, 0]] * w0 + g["uvs"][f[:, 1]] * bu[:, None]
+          + g["uvs"][f[:, 2]] * bv[:, None])
+    obj = g["face_obj"][tid]
+    tex = g["obj_tex"][obj, 3]
+    atlas, sizes = g["tex_atlas"], g["tex_size"]
+    tid2 = np.clip(tex, 0, len(atlas) - 1)
+    hw = sizes[tid2].astype(np.float64)
+    x = uv[:, 0] * hw[:, 1] - 0.5
+    y = uv[:, 1] * hw[:, 0] - 0.5
+    x0 = np.floor(x).astype(np.int64); y0 = np.floor(y).astype(np.int64)
+    fx = x - x0; fy = y - y0
+    wi = hw[:, 1].astype(np.int64); hi = hw[:, 0].astype(np.int64)
+    xi0, xi1 = x0 % wi, (x0 + 1) % wi
+    yi0, yi1 = y0 % hi, (y0 + 1) % hi
+    a = ((atlas[tid2, yi0, xi0, 0] * (1 - fx) + atlas[tid2, yi0, xi1, 0] * fx)
+         * (1 - fy)
+         + (atlas[tid2, yi1, xi0, 0] * (1 - fx) + atlas[tid2, yi1, xi1, 0] * fx)
+         * fy)
+    return np.where(is_tri & (tex >= 0), a, 1.0)
+
+
+def trace_closest(g, cfg, o, d, t_min, t_max):
+    """closest_hit with the optional alpha-test ladder (render/alpha.py)."""
+    t, p, bu, bv = closest_hit(o, d, g["vertices"], g["faces"],
+                               g["sph_center"], g["sph_radius"], t_min, t_max)
+    if not getattr(cfg, "alpha_test", False):
+        return t, p, bu, bv
+    t_lo = np.full(len(o), t_min, np.float32)
+    for _ in range(cfg.alpha_rounds):
+        a = _hit_alpha_np(g, p, bu, bv)
+        rej = (p >= 0) & (a < cfg.alpha_threshold)
+        if not rej.any():
+            break
+        t_lo = np.where(rej, t + 1e-4, t_lo)
+        t2, p2, bu2, bv2 = closest_hit(
+            o, d, g["vertices"], g["faces"], g["sph_center"], g["sph_radius"],
+            0.0, t_max)
+        # emulate per-ray t_min
+        for i in np.nonzero(rej)[0]:
+            ti, pi, ui, vi = closest_hit(
+                o[i:i + 1], d[i:i + 1], g["vertices"], g["faces"],
+                g["sph_center"], g["sph_radius"], float(t_lo[i]), t_max)
+            t[i], p[i], bu[i], bv[i] = ti[0], pi[0], ui[0], vi[0]
+    return t, p, bu, bv
+
+
+def trace_occluded(g, cfg, o, d, t_min, t_max):
+    if not getattr(cfg, "alpha_test", False):
+        return occluded(o, d, g["vertices"], g["faces"], g["sph_center"],
+                        g["sph_radius"], t_min, t_max)
+    t, p, bu, bv = trace_closest(g, cfg, o, d, t_min, np.inf)
+    return (p >= 0) & (t < t_max)
+
+
 # ---------------------------------------------------------------------------
 # LTC (written from LTC.glsl:2-69)
 # ---------------------------------------------------------------------------
@@ -212,6 +274,9 @@ def ct_spec(view, light, n, rough, f0, min_nv=0.1, min_nl=0.1):
 def render_reference(scene: Scene, cfg, frame_index: int = 0,
                      return_components: bool = False):
     """Render with the same semantics as the JAX pipeline, in NumPy."""
+    if getattr(cfg, "alpha_test", None) is None:
+        cfg = cfg.replace(alpha_test=any(
+            m.material.opacity_map is not None for m in scene.meshes))
     gpu = scene.compile()
     g = {k: np.asarray(v) for k, v in gpu._asdict().items()}
     h, w = cfg.height, cfg.width
@@ -269,8 +334,7 @@ def render_reference(scene: Scene, cfg, frame_index: int = 0,
 def _shade(g, cfg, o, d, pixel_seed, sample_index):
     R = o.shape[0]
     verts, faces = g["vertices"], g["faces"]
-    t, prim, bu, bv = closest_hit(o, d, verts, faces, g["sph_center"],
-                                  g["sph_radius"], cfg.t_min, cfg.t_max)
+    t, prim, bu, bv = trace_closest(g, cfg, o, d, cfg.t_min, cfg.t_max)
     miss = prim < 0
     nt = len(faces)
     is_tri = (prim >= 0) & (prim < nt)
@@ -396,9 +460,9 @@ def _shade(g, cfg, o, d, pixel_seed, sample_index):
             delta = lpos - p
             dist = np.sqrt(np.maximum(_dot(delta, delta), 1e-20))
             sdir = delta / dist[:, None]
-            occ = occluded(so.astype(np.float32), sdir.astype(np.float32),
-                           verts, faces, g["sph_center"], g["sph_radius"],
-                           cfg.t_min, dist - cfg.shadow_ray_margin)
+            occ = trace_occluded(g, cfg, so.astype(np.float32),
+                                 sdir.astype(np.float32), cfg.t_min,
+                                 dist - cfg.shadow_ray_margin)
             lit = np.where(occ, 0.0, 1.0)[:, None]
             ndotl = np.maximum(_dot(n, sdir), 0.1)
             cspec = ct_spec(view, sdir, n, rough, m_spec)
@@ -424,10 +488,9 @@ def _shade(g, cfg, o, d, pixel_seed, sample_index):
     if g["sun_intensity"] > 0:
         ndl_raw = _dot(n, sd[None])
         act = (valid & (ndl_raw > 0)).astype(np.float32)[:, None]
-        occ = occluded(so.astype(np.float32),
-                       np.broadcast_to(sd, (R, 3)).astype(np.float32),
-                       verts, faces, g["sph_center"], g["sph_radius"],
-                       cfg.t_min, np.full(R, cfg.t_max))
+        occ = trace_occluded(g, cfg, so.astype(np.float32),
+                             np.broadcast_to(sd, (R, 3)).astype(np.float32),
+                             cfg.t_min, np.full(R, cfg.t_max))
         lit = np.where(occ, 0.0, 1.0)[:, None]
         ndl = np.maximum(ndl_raw, 1e-4)
         cspec = ct_spec(view, np.broadcast_to(sd, (R, 3)), n, rough, m_spec,

@@ -27,6 +27,28 @@ class ViewportFrame(NamedTuple):
     v_delta: jnp.ndarray        # (3,) world step per pixel in +y (down)
 
 
+def block_permutation(width: int, height: int, block_w: int = 16,
+                      block_h: int = 8):
+    """Permutation turning raster-order rays into (block_h x block_w)-tile
+    order, plus its inverse.
+
+    Coherent 2-D pixel blocks give ray tiles tight direction cones, which
+    the wide backend's frustum culling and any packet scheme feed on; a
+    raster row strip is a long thin cone instead.  Static per resolution
+    (host NumPy, embedded as constants).
+    """
+    import numpy as np
+
+    py, px = np.mgrid[0:height, 0:width]
+    blocks_x = -(-width // block_w)
+    block_id = (py // block_h) * blocks_x + (px // block_w)
+    within = (py % block_h) * block_w + (px % block_w)
+    key = block_id.astype(np.int64) * (block_w * block_h) + within
+    perm = np.argsort(key.reshape(-1), kind="stable").astype(np.int32)
+    inv = np.argsort(perm, kind="stable").astype(np.int32)
+    return jnp.asarray(perm), jnp.asarray(inv)
+
+
 def pixel_grid(width: int, height: int) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Integer pixel coordinate grids px, py of shape (height, width)."""
     py = jnp.broadcast_to(jnp.arange(height, dtype=jnp.int32)[:, None], (height, width))

@@ -82,13 +82,18 @@ def ray_sphere(o, d, center, radius):
     return jnp.where(valid, t, BIG_T), valid
 
 
+def as_per_ray(x, r) -> jnp.ndarray:
+    """Broadcast a scalar-or-(R,) ray-interval bound to (R,) f32."""
+    return jnp.broadcast_to(jnp.asarray(x, jnp.float32), (r,))
+
+
 def _chunk_closest(o, d, tri_v0, tri_v1, tri_v2, tri_base, t_min, t_max):
     """Closest hit of R rays against one triangle chunk. Shapes: o,d (R,3);
-    tri_* (C,3). Returns per-ray (t, local_id, u, v) with BIG_T/-1 on miss."""
+    tri_* (C,3); t_min/t_max (R,). Returns per-ray (t, local_id, u, v)."""
     t, u, v, valid = ray_triangle(
         o[:, None, :], d[:, None, :], tri_v0[None], tri_v1[None], tri_v2[None]
     )  # (R, C)
-    valid = valid & (t >= t_min) & (t <= t_max)
+    valid = valid & (t >= t_min[:, None]) & (t <= t_max[:, None])
     t = jnp.where(valid, t, BIG_T)
     idx = jnp.argmin(t, axis=1)
     r = jnp.arange(t.shape[0])
@@ -111,9 +116,12 @@ def intersect_tris_bruteforce(
     vertices: (V, 3) f32; faces: (T, 3) int32.  Triangles are streamed in
     chunks via lax.scan so peak memory is O(R * chunk) regardless of T.
     The face array is padded with degenerate (0,0,0) triangles to a chunk
-    multiple; degenerates never report valid hits (det ~ 0).
+    multiple; degenerates never report valid hits (det ~ 0).  t_min/t_max
+    may be scalars or per-ray (R,).
     """
     R = origins.shape[0]
+    t_min = as_per_ray(t_min, R)
+    t_max = as_per_ray(t_max, R)
     T = faces.shape[0]
     n_chunks = max(1, -(-T // chunk))
     pad = n_chunks * chunk - T
@@ -163,7 +171,7 @@ def occluded_tris_bruteforce(
 
     The semantic twin of the reference's shadow rays with
     gl_RayFlagsTerminateOnFirstHitEXT | SkipClosestHit (raygen.rgen:233-241).
-    t_max may be per-ray (R,).
+    t_min/t_max may be scalars or per-ray (R,).
     """
     R = origins.shape[0]
     T = faces.shape[0]
@@ -171,14 +179,16 @@ def occluded_tris_bruteforce(
     pad = n_chunks * chunk - T
     faces_p = jnp.pad(faces, ((0, pad), (0, 0)))
     tv = vertices[faces_p].reshape(n_chunks, chunk, 3, 3)
-    t_max = jnp.broadcast_to(t_max, (R,))
+    t_min = as_per_ray(t_min, R)
+    t_max = as_per_ray(t_max, R)
 
     def body(occ, tri_v):
         t, _, _, valid = ray_triangle(
             origins[:, None, :], dirs[:, None, :],
             tri_v[None, :, 0], tri_v[None, :, 1], tri_v[None, :, 2],
         )
-        hit_any = jnp.any(valid & (t >= t_min) & (t < t_max[:, None]), axis=1)
+        hit_any = jnp.any(
+            valid & (t >= t_min[:, None]) & (t < t_max[:, None]), axis=1)
         return occ | hit_any, None
 
     occ, _ = jax.lax.scan(body, jnp.zeros_like(origins[:, 0], bool), tv)
@@ -197,10 +207,13 @@ def intersect_spheres(
 
     prim_id indexes the sphere list.  Sphere counts are small (the reference's
     procedural-geometry path had exactly one), so a full broadcast is fine.
+    t_min/t_max may be scalars or per-ray (R,).
     """
     R = origins.shape[0]
+    t_min = as_per_ray(t_min, R)
+    t_max = as_per_ray(t_max, R)
     t, valid = ray_sphere(origins[:, None, :], dirs[:, None, :], centers[None], radii[None])
-    valid = valid & (t >= t_min) & (t <= t_max)
+    valid = valid & (t >= t_min[:, None]) & (t <= t_max[:, None])
     t = jnp.where(valid, t, BIG_T)
     idx = jnp.argmin(t, axis=1)
     r = jnp.arange(R)

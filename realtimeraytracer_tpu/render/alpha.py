@@ -1,0 +1,108 @@
+"""Alpha-tested transparency (the any-hit shader, done wavefront-style).
+
+Parity target: the reference's opacity any-hit shader
+(shaders/opacity.rahit:31-64) — for objects with an opacity map, sample the
+map at the hit's interpolated uv and IGNORE the intersection when alpha <
+0.9, both for primary/closest rays and for shadow rays.
+
+TPU-native design: hardware re-runs the any-hit shader mid-traversal; here
+transparency is a bounded re-trace loop around any backend: trace closest,
+evaluate alpha at the accepted hit, and for rays whose hit was rejected
+re-trace with t_min moved just past it.  A fixed `alpha_rounds` ladder
+(masked lanes idle) keeps shapes static; rounds bound the number of
+transparent surfaces a single ray can pass through, like the reference's
+recursion limit bounds its shadow depth.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from realtimeraytracer_tpu.config import RenderConfig
+from realtimeraytracer_tpu.ops.intersect import BIG_T, HitRecord
+from realtimeraytracer_tpu.ops.texture import sample_atlas
+from realtimeraytracer_tpu.render.backends import TraceBackend
+from realtimeraytracer_tpu.scene.gpu_scene import GPUScene
+
+
+def hit_alpha(gpu: GPUScene, hit: HitRecord) -> jnp.ndarray:
+    """Opacity of each hit (1.0 where the object has no opacity map or the
+    hit is a sphere/miss). Mirrors opacity.rahit's uv interpolation."""
+    num_tris = gpu.faces.shape[0]
+    is_tri = (hit.prim_id >= 0) & (hit.prim_id < num_tris)
+    tid = jnp.clip(hit.prim_id, 0, max(num_tris - 1, 0))
+    f = gpu.faces[tid]
+    w0 = (1.0 - hit.u - hit.v)[..., None]
+    uv = (gpu.uvs[f[..., 0]] * w0 + gpu.uvs[f[..., 1]] * hit.u[..., None]
+          + gpu.uvs[f[..., 2]] * hit.v[..., None])
+    obj = gpu.face_obj[tid]
+    tex = gpu.obj_tex[obj, 3]
+    a = sample_atlas(gpu.tex_atlas, gpu.tex_size, tex, uv[..., 0], uv[..., 1])[..., 0]
+    return jnp.where(is_tri & (tex >= 0), a, 1.0)
+
+
+def wrap_backend_with_alpha(backend: TraceBackend, gpu: GPUScene,
+                            cfg: RenderConfig) -> TraceBackend:
+    threshold = cfg.alpha_threshold
+    eps = 1e-4
+
+    def closest(origins, dirs, t_min, t_max):
+        # fori ladder (not Python unroll): each round re-traces only the
+        # rays whose hit was alpha-rejected; one trace instance compiles.
+        r = origins.shape[0]
+        t_lo0 = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (r,))
+        hit0 = backend.closest(origins, dirs, t_lo0, t_max)
+
+        def round_fn(_, state):
+            hit, t_lo = state
+            a = hit_alpha(gpu, hit)
+            rejected = hit.hit & (a < threshold)
+            t_lo = jnp.where(rejected, hit.t + eps, t_lo)
+            re = backend.closest(origins, dirs, t_lo, t_max)
+            hit = HitRecord(
+                t=jnp.where(rejected, re.t, hit.t),
+                prim_id=jnp.where(rejected, re.prim_id, hit.prim_id),
+                u=jnp.where(rejected, re.u, hit.u),
+                v=jnp.where(rejected, re.v, hit.v),
+            )
+            return hit, t_lo
+
+        hit, _ = jax.lax.fori_loop(0, cfg.alpha_rounds, round_fn, (hit0, t_lo0))
+        return hit
+
+    def occluded(origins, dirs, t_min, t_max):
+        # Any-hit with alpha: occluded iff some OPAQUE hit lies in range.
+        # Walk a closest-hit ladder, stepping past transparent surfaces.
+        r = origins.shape[0]
+        t_max_v = jnp.broadcast_to(t_max, (r,)).astype(jnp.float32)
+        t_lo0 = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (r,))
+        hit0 = backend.closest(origins, dirs, t_lo0, t_max_v)
+        occ0 = jnp.zeros((r,), bool)
+
+        def round_fn(_, state):
+            hit, occ, t_lo = state
+            a = hit_alpha(gpu, hit)
+            in_range = hit.hit & (hit.t < t_max_v)
+            occ = occ | (in_range & (a >= threshold))
+            transparent = in_range & (a < threshold) & ~occ
+            t_lo = jnp.where(transparent, hit.t + eps, t_lo)
+            re = backend.closest(origins, dirs, t_lo, t_max_v)
+            hit = HitRecord(
+                t=jnp.where(transparent, re.t, hit.t),
+                prim_id=jnp.where(transparent, re.prim_id, hit.prim_id),
+                u=jnp.where(transparent, re.u, hit.u),
+                v=jnp.where(transparent, re.v, hit.v),
+            )
+            return hit, occ, t_lo
+
+        hit, occ, _ = jax.lax.fori_loop(
+            0, cfg.alpha_rounds + 1, round_fn, (hit0, occ0, t_lo0))
+        # Account for the final state's hit too (last re-trace result).
+        a = hit_alpha(gpu, hit)
+        occ = occ | (hit.hit & (hit.t < t_max_v) & (a >= threshold))
+        return occ
+
+    return TraceBackend(closest=closest, occluded=occluded,
+                        num_tris=backend.num_tris,
+                        num_spheres=backend.num_spheres)

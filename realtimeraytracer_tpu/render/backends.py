@@ -81,8 +81,29 @@ def make_bruteforce_backend(gpu: GPUScene, cfg: RenderConfig) -> TraceBackend:
 
 
 def make_backend(gpu: GPUScene, cfg: RenderConfig) -> TraceBackend:
-    if cfg.use_bvh and gpu.has_bvh:
+    kind = cfg.backend
+    if kind == "auto":
+        kind = "wide" if (cfg.use_bvh and gpu.has_bvh) else "brute"
+    if kind in ("packet", "lane", "wide") and not gpu.has_bvh:
+        kind = "brute"
+    if kind == "wide":
+        from realtimeraytracer_tpu.render.wide_backend import make_wide_backend
+
+        backend = make_wide_backend(gpu, cfg)
+    elif kind == "packet":
+        from realtimeraytracer_tpu.render.packet_backend import make_packet_backend
+
+        backend = make_packet_backend(gpu, cfg)
+    elif kind == "lane":
         from realtimeraytracer_tpu.render.bvh_backend import make_bvh_backend
 
-        return make_bvh_backend(gpu, cfg)
-    return make_bruteforce_backend(gpu, cfg)
+        backend = make_bvh_backend(gpu, cfg)
+    elif kind == "brute":
+        backend = make_bruteforce_backend(gpu, cfg)
+    else:
+        raise ValueError(f"unknown backend {cfg.backend!r}")
+    if cfg.alpha_test:
+        from realtimeraytracer_tpu.render.alpha import wrap_backend_with_alpha
+
+        backend = wrap_backend_with_alpha(backend, gpu, cfg)
+    return backend

@@ -69,7 +69,8 @@ def traverse_closest(gpu: GPUScene, cfg: RenderConfig, origins, dirs,
     N = gpu.bvh_node_min.shape[0]
     leaf_size = max(cfg.bvh_leaf_size, 1)  # must match the compile-time build
     inv_d = jnp.where(jnp.abs(dirs) > 1e-12, 1.0 / dirs, jnp.sign(dirs) * 1e12 + 1e12)
-    tmin_v = jnp.full((R,), t_min, jnp.float32)
+    tmin_v = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (R,))
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
 
     def cond(state):
         node, best_t, best_p, best_u, best_v, step = state
@@ -127,7 +128,7 @@ def traverse_occluded(gpu: GPUScene, cfg: RenderConfig, origins, dirs,
     leaf_size = cfg.bvh_leaf_size
     inv_d = jnp.where(jnp.abs(dirs) > 1e-12, 1.0 / dirs, jnp.sign(dirs) * 1e12 + 1e12)
     t_max = jnp.broadcast_to(t_max, (R,)).astype(jnp.float32)
-    tmin_v = jnp.full((R,), t_min, jnp.float32)
+    tmin_v = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (R,))
 
     def cond(state):
         node, occ, step = state

@@ -249,11 +249,25 @@ def render_components(
         px * jnp.uint32(733) + py * jnp.uint32(1933) + jnp.uint32(frame_index)
     ).reshape(-1)
 
+    # Feed backends coherent 2-D pixel blocks (see block_permutation);
+    # results are un-permuted before the image reshape.
+    if cfg.ray_order == "block":
+        from realtimeraytracer_tpu.ops.camera_rays import block_permutation
+
+        perm, inv_perm = block_permutation(w, h)
+        pixel_seed = pixel_seed[perm]
+    else:
+        perm = inv_perm = None
+
     acc = None
     for s in range(cfg.primary_rays):
         o, d = generate_rays(frame, w, h, sample_index=s, jitter=cfg.jitter)
+        if perm is not None:
+            o, d = o[perm], d[perm]
         out = shade_sample(gpu, cfg, o, d, pixel_seed, backend, sample_index=s)
         acc = out if acc is None else SampleRadiance(*(a + b for a, b in zip(acc, out)))
+    if inv_perm is not None:
+        acc = SampleRadiance(*(x[inv_perm] for x in acc))
 
     inv = 1.0 / cfg.primary_rays
     tm = lambda x: tonemap(x * inv, cfg.tonemap, cfg.gamma)

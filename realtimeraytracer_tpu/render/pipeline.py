@@ -60,8 +60,13 @@ def render_pipeline(scene, cfg: RenderConfig | None = None,
 
     cfg = cfg or RenderConfig()
     if isinstance(scene, Scene):
-        gpu = scene.compile()
+        gpu = scene.compile(bvh_leaf_size=cfg.bvh_leaf_size)
         frame = scene.camera.viewport_frame(cfg.width, cfg.height)
+        # Auto-resolve alpha testing: enabled iff some material carries an
+        # opacity map (opacity.rahit only runs for such objects).
+        if cfg.alpha_test is None:
+            cfg = cfg.replace(alpha_test=any(
+                m.material.opacity_map is not None for m in scene.meshes))
     else:
         raise TypeError(
             "render_pipeline(scene) expects a Scene; for compiled scenes use "

@@ -64,14 +64,19 @@ def load_library(build_if_missing: bool = True):
     lib.bvh_build.restype = c.c_int64
     lib.bvh_build.argtypes = [f32p, f32p, f32p, c.c_int64, c.c_int64,
                               f32p, f32p, i32p, i32p, i32p, i32p]
+    lib.bvh_build_sah.restype = c.c_int64
+    lib.bvh_build_sah.argtypes = [f32p, f32p, f32p, c.c_int64, c.c_int64,
+                                  c.c_int64, f32p, f32p, i32p, i32p, i32p,
+                                  i32p]
     _lib = lib
     log.debug("native library loaded: {}", _LIB_PATH)
     return _lib
 
 
 def native_build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
-                     leaf_size: int = 4):
-    """Native LBVH build; returns ops.bvh.BVHArrays or None if unavailable."""
+                     leaf_size: int = 4, builder: str = "sah"):
+    """Native BVH build (binned SAH by default, or Morton LBVH);
+    returns ops.bvh.BVHArrays or None if the library is unavailable."""
     lib = load_library()
     if lib is None:
         return None
@@ -81,18 +86,36 @@ def native_build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
     v0 = np.ascontiguousarray(v0, np.float32)
     v1 = np.ascontiguousarray(v1, np.float32)
     v2 = np.ascontiguousarray(v2, np.float32)
-    n = lib.bvh_num_nodes(t, leaf_size)
-    node_min = np.empty((n, 3), np.float32)
-    node_max = np.empty((n, 3), np.float32)
-    node_skip = np.empty(n, np.int32)
-    node_first = np.empty(n, np.int32)
-    node_count = np.empty(n, np.int32)
     order = np.empty(t, np.int32)
-    written = lib.bvh_build(v0.reshape(-1), v1.reshape(-1), v2.reshape(-1),
-                            t, leaf_size, node_min.reshape(-1),
-                            node_max.reshape(-1), node_skip, node_first,
-                            node_count, order)
-    assert written == n, (written, n)
+    if builder == "sah":
+        max_nodes = 2 * t + 1
+        node_min = np.empty((max_nodes, 3), np.float32)
+        node_max = np.empty((max_nodes, 3), np.float32)
+        node_skip = np.empty(max_nodes, np.int32)
+        node_first = np.empty(max_nodes, np.int32)
+        node_count = np.empty(max_nodes, np.int32)
+        n = lib.bvh_build_sah(v0.reshape(-1), v1.reshape(-1), v2.reshape(-1),
+                              t, leaf_size, max_nodes, node_min.reshape(-1),
+                              node_max.reshape(-1), node_skip, node_first,
+                              node_count, order)
+        assert n > 0, "SAH build failed"
+        node_min = node_min[:n].copy()
+        node_max = node_max[:n].copy()
+        node_skip = node_skip[:n].copy()
+        node_first = node_first[:n].copy()
+        node_count = node_count[:n].copy()
+    else:
+        n = lib.bvh_num_nodes(t, leaf_size)
+        node_min = np.empty((n, 3), np.float32)
+        node_max = np.empty((n, 3), np.float32)
+        node_skip = np.empty(n, np.int32)
+        node_first = np.empty(n, np.int32)
+        node_count = np.empty(n, np.int32)
+        written = lib.bvh_build(v0.reshape(-1), v1.reshape(-1), v2.reshape(-1),
+                                t, leaf_size, node_min.reshape(-1),
+                                node_max.reshape(-1), node_skip, node_first,
+                                node_count, order)
+        assert written == n, (written, n)
     return BVHArrays(node_min=node_min, node_max=node_max,
                      node_skip=node_skip, node_first=node_first,
                      node_count=node_count,

@@ -1,0 +1,120 @@
+"""Demo CLI: render the example scene ladder / run the app frame loop /
+inverse-rendering optimization.
+
+Usage:
+  python scripts/demo.py render [cornell|sphere|mesh10k|mesh100k] out.png
+  python scripts/demo.py wavefront cornell out.png     # multi-bounce
+  python scripts/demo.py app                            # timed frame loop
+  python scripts/demo.py fit                            # albedo recovery
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+import realtimeraytracer_tpu as rt
+from realtimeraytracer_tpu import scenes
+from realtimeraytracer_tpu.utils import log
+from realtimeraytracer_tpu.utils.image_io import write_png
+
+SCENES = {
+    "cornell": lambda: (scenes.cornell_box(),
+                        rt.RenderConfig(width=512, height=512, primary_rays=2,
+                                        shadow_rays=3, shadow_ray_margin=0.02)),
+    "sphere": lambda: (scenes.sphere_plane(),
+                       rt.RenderConfig(width=512, height=384, primary_rays=2,
+                                       shadow_rays=1, shadow_ray_margin=0.01)),
+    "mesh10k": lambda: (scenes.procedural_mesh(10_000),
+                        rt.RenderConfig(width=960, height=540, primary_rays=2,
+                                        shadow_rays=2, tonemap="lut")),
+    "mesh100k": lambda: (scenes.procedural_mesh(100_000),
+                         rt.RenderConfig(width=1920, height=1080, primary_rays=2,
+                                         shadow_rays=2)),
+}
+
+
+def cmd_render(name: str, out: str) -> None:
+    scene, cfg = SCENES[name]()
+    img = np.asarray(rt.render(scene, cfg))
+    write_png(out, img)
+    log.info("wrote {} ({}x{}, mean {:.4f})", out, cfg.width, cfg.height,
+             float(img.mean()))
+
+
+def cmd_wavefront(name: str, out: str) -> None:
+    import jax
+
+    from realtimeraytracer_tpu.render.wavefront import render_wavefront
+
+    scene, cfg = SCENES[name]()
+    cfg = cfg.replace(max_bounces=2)
+    gpu = scene.compile(bvh_leaf_size=cfg.bvh_leaf_size)
+    frame = scene.camera.viewport_frame(cfg.width, cfg.height)
+    img = np.asarray(jax.jit(
+        lambda g, f: render_wavefront(g, f, cfg))(gpu, frame))
+    write_png(out, img)
+    log.info("wrote {} (wavefront, {} bounces)", out, cfg.max_bounces)
+
+
+def cmd_app() -> None:
+    from realtimeraytracer_tpu.app.application import Application
+
+    app = Application("Real Time RayTracer", 512, 512,
+                      config=rt.RenderConfig(primary_rays=1, shadow_rays=2,
+                                             denoise_iterations=2,
+                                             shadow_ray_margin=0.02),
+                      scene=scenes.cornell_box())
+    app.toggle_spin()
+    fps = app.run(num_frames=8)
+    log.info("frame loop done: {:.2f} fps", fps)
+
+
+def cmd_fit() -> None:
+    import jax.numpy as jnp
+
+    from realtimeraytracer_tpu.diff.optimize import fit
+    from realtimeraytracer_tpu.ops.camera_rays import generate_rays
+    from realtimeraytracer_tpu.render.backends import make_backend
+    from realtimeraytracer_tpu.render.megakernel import shade_sample
+
+    scene = scenes.cornell_box()
+    cfg = rt.RenderConfig(width=48, height=48, primary_rays=1, jitter=False,
+                          shadow_rays=1, denoise_iterations=0, use_bvh=False,
+                          shadow_ray_margin=0.02)
+    gpu = scene.compile()
+    frame = scene.camera.viewport_frame(cfg.width, cfg.height)
+    o, d = generate_rays(frame, cfg.width, cfg.height, jitter=False)
+    seed = jnp.arange(o.shape[0], dtype=jnp.uint32)
+    target = shade_sample(gpu, cfg, o, d, seed, make_backend(gpu, cfg)).analytic
+
+    wrong = gpu._replace(obj_color=gpu.obj_color * 0.4 + 0.3)
+    params, losses = fit(wrong, cfg, o, d, seed, target,
+                         param_names=("obj_color",), steps=50)
+    log.info("fit: loss {:.5f} -> {:.6f}", losses[0], losses[-1])
+    err = float(jnp.abs(params["obj_color"] - gpu.obj_color).mean())
+    log.info("albedo mean abs error after recovery: {:.4f}", err)
+
+
+def main() -> None:
+    if len(sys.argv) < 2:
+        print(__doc__)
+        return
+    cmd = sys.argv[1]
+    if cmd == "render":
+        cmd_render(sys.argv[2] if len(sys.argv) > 2 else "cornell",
+                   sys.argv[3] if len(sys.argv) > 3 else "out.png")
+    elif cmd == "wavefront":
+        cmd_wavefront(sys.argv[2] if len(sys.argv) > 2 else "cornell",
+                      sys.argv[3] if len(sys.argv) > 3 else "out.png")
+    elif cmd == "app":
+        cmd_app()
+    elif cmd == "fit":
+        cmd_fit()
+    else:
+        print(__doc__)
+
+
+if __name__ == "__main__":
+    main()

@@ -79,6 +79,63 @@ class TestTraversalVsBruteForce:
         same = (np.asarray(got.prim_id) == np.asarray(want.prim_id))
         assert same[hit].mean() > 0.999
 
+    def test_packet_closest_matches_brute(self):
+        gpu = self._gpu_with_bvh(500, seed=7)
+        o, d = _random_rays(512, seed=8)
+        cfg = RenderConfig(packet_size=32)
+        from realtimeraytracer_tpu.render.packet_backend import packet_closest
+
+        got = packet_closest(gpu, cfg, jnp.asarray(o), jnp.asarray(d), 1e-3, 1e4)
+        want = intersect.intersect_tris_bruteforce(
+            jnp.asarray(o), jnp.asarray(d), gpu.vertices, gpu.faces, 1e-3, 1e4)
+        np.testing.assert_array_equal(np.asarray(got.prim_id >= 0),
+                                      np.asarray(want.prim_id >= 0))
+        hit = np.asarray(want.prim_id >= 0)
+        np.testing.assert_allclose(np.asarray(got.t)[hit],
+                                   np.asarray(want.t)[hit], rtol=1e-4)
+
+    def test_packet_occluded_matches_brute(self):
+        gpu = self._gpu_with_bvh(300, seed=9)
+        o, d = _random_rays(500, seed=10)  # deliberately not a tile multiple
+        cfg = RenderConfig(packet_size=64)
+        from realtimeraytracer_tpu.render.packet_backend import packet_occluded
+
+        tmax = jnp.full((500,), 3.0)
+        got = packet_occluded(gpu, cfg, jnp.asarray(o), jnp.asarray(d), 1e-3, tmax)
+        want = intersect.occluded_tris_bruteforce(
+            jnp.asarray(o), jnp.asarray(d), gpu.vertices, gpu.faces, 1e-3, tmax)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_wide_closest_matches_brute(self):
+        gpu = self._gpu_with_bvh(700, seed=11)
+        o, d = _random_rays(512, seed=12)
+        cfg = RenderConfig(cluster_size=64, wide_tile=64, max_cluster_visits=32)
+        from realtimeraytracer_tpu.render.wide_backend import wide_closest
+
+        got = wide_closest(gpu, cfg, jnp.asarray(o), jnp.asarray(d), 1e-3, 1e4)
+        want = intersect.intersect_tris_bruteforce(
+            jnp.asarray(o), jnp.asarray(d), gpu.vertices, gpu.faces, 1e-3, 1e4)
+        hit_w = np.asarray(want.prim_id >= 0)
+        hit_g = np.asarray(got.prim_id >= 0)
+        # Baldwin-Weber vs Moller-Trumbore edge epsilons: allow a tiny
+        # disagreement fraction, distances must match where both hit.
+        assert (hit_w != hit_g).mean() < 5e-3
+        both = hit_w & hit_g
+        np.testing.assert_allclose(np.asarray(got.t)[both],
+                                   np.asarray(want.t)[both], rtol=1e-3)
+
+    def test_wide_occluded_matches_brute(self):
+        gpu = self._gpu_with_bvh(500, seed=13)
+        o, d = _random_rays(500, seed=14)
+        cfg = RenderConfig(cluster_size=64, wide_tile=64, max_cluster_visits=32)
+        from realtimeraytracer_tpu.render.wide_backend import wide_occluded
+
+        tmax = jnp.full((500,), 3.0)
+        got = wide_occluded(gpu, cfg, jnp.asarray(o), jnp.asarray(d), 1e-3, tmax)
+        want = intersect.occluded_tris_bruteforce(
+            jnp.asarray(o), jnp.asarray(d), gpu.vertices, gpu.faces, 1e-3, tmax)
+        assert (np.asarray(got) != np.asarray(want)).mean() < 5e-3
+
     def test_occluded_matches(self):
         gpu = self._gpu_with_bvh(300, seed=3)
         o, d = _random_rays(512, seed=4)
