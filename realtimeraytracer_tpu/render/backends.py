@@ -83,10 +83,22 @@ def make_bruteforce_backend(gpu: GPUScene, cfg: RenderConfig) -> TraceBackend:
 def make_backend(gpu: GPUScene, cfg: RenderConfig) -> TraceBackend:
     kind = cfg.backend
     if kind == "auto":
-        kind = "wide" if (cfg.use_bvh and gpu.has_bvh) else "brute"
-    if kind in ("packet", "lane", "wide") and not gpu.has_bvh:
+        if cfg.use_bvh and gpu.has_bvh:
+            # The Mosaic kernel is the fast path on TPU; the wide XLA
+            # backend is its portable twin elsewhere (same culling, same
+            # stop rule).
+            import jax
+
+            kind = "pallas" if jax.default_backend() == "tpu" else "wide"
+        else:
+            kind = "brute"
+    if kind in ("packet", "lane", "wide", "pallas") and not gpu.has_bvh:
         kind = "brute"
-    if kind == "wide":
+    if kind == "pallas":
+        from realtimeraytracer_tpu.render.pallas_backend import make_pallas_backend
+
+        backend = make_pallas_backend(gpu, cfg)
+    elif kind == "wide":
         from realtimeraytracer_tpu.render.wide_backend import make_wide_backend
 
         backend = make_wide_backend(gpu, cfg)
