@@ -19,6 +19,13 @@ import time
 import jax
 import jax.numpy as jnp
 
+# Persistent compile cache: axon remote compiles are minutes-long; cached
+# executables make repeat benchmark runs start in seconds.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                 "/tmp/rtrt_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def main() -> None:
     small = os.environ.get("RTRT_BENCH_SCALE") == "small"

@@ -45,20 +45,11 @@ def fetch_ltc_params(ltc1: jnp.ndarray, ltc2: jnp.ndarray,
     u, v = ltc_lut_coords(roughness, ndotv)
     t1 = sample_bilinear(ltc1, u, v, wrap=False)
     t2 = sample_bilinear(ltc2, u, v, wrap=False)
-    a, b, c, d = t1[..., 0], t1[..., 1], t1[..., 2], t1[..., 3]
-    zero = jnp.zeros_like(a)
-    one = jnp.ones_like(a)
-    # GLSL: mat3(vec3(a,0,b), vec3(0,1,0), vec3(c,0,d)) — columns.
-    # Row-major equivalent: [[a, 0, c], [0, 1, 0], [b, 0, d]].
-    minv = jnp.stack(
-        [
-            jnp.stack([a, zero, c], axis=-1),
-            jnp.stack([zero, one, zero], axis=-1),
-            jnp.stack([b, zero, d], axis=-1),
-        ],
-        axis=-2,
-    )
-    return minv, t2
+    # Minv is sparse — GLSL mat3(vec3(a,0,b), vec3(0,1,0), vec3(c,0,d)),
+    # i.e. rows [[a,0,c],[0,1,0],[b,0,d]].  Return the 4 scalars instead of
+    # materializing (R,3,3) tensors: tiny-trailing-dim tensors get
+    # catastrophic (50x) layout padding on TPU.
+    return (t1[..., 0], t1[..., 1], t1[..., 2], t1[..., 3]), t2
 
 
 def integrate_edge_vec(v1: jnp.ndarray, v2: jnp.ndarray) -> jnp.ndarray:
@@ -81,7 +72,8 @@ def ltc_evaluate(
     n: jnp.ndarray,           # (..., 3) shading normal
     view: jnp.ndarray,        # (..., 3) unit view dir (to camera)
     p: jnp.ndarray,           # (..., 3) shading point
-    minv: jnp.ndarray,        # (..., 3, 3) LTC inverse matrix (identity = diffuse)
+    minv,                     # (a, b, c, d) scalars (see fetch_ltc_params),
+                              # or None for the identity (diffuse) case
     p0: jnp.ndarray, p1: jnp.ndarray, p2: jnp.ndarray,  # (..., 3) light tri (world)
     light_normal: jnp.ndarray,  # (..., 3) unit geometric normal of the tri
     two_sided: jnp.ndarray,   # (...,) bool
@@ -93,19 +85,33 @@ def ltc_evaluate(
     `behind = dot(p0 - P, lightNormal) < 0` is TRUE when P is on the *front*
     side; the z flip and the one-sided zeroing (!behind && !twoSided -> 0)
     follow it exactly.
+
+    Minv's sparsity ([[a,0,c],[0,1,0],[b,0,d]]) is exploited so the
+    world->cosine transform is pure vector FMAs — (R,3,3) matmul tensors
+    suffer ~50x layout padding on TPU.
     """
     t1 = normalize(view - n * dot(view, n)[..., None])
     t2v = cross(n, t1)
-    # rows of (Minv * transpose(mat3(T1,T2,N))): world -> cosine space.
-    basis = jnp.stack([t1, t2v, n], axis=-2)          # (..., 3, 3): rows T1,T2,N
-    m = jnp.matmul(minv, basis)                        # (..., 3, 3)
+
+    # Rows of (Minv * transpose(mat3(T1,T2,N))):
+    #   row0 = a*T1 + c*N ; row1 = T2 ; row2 = b*T1 + d*N   (identity:
+    #   rows are T1, T2, N).
+    if minv is None:
+        r0, r1r, r2r = t1, t2v, n
+    else:
+        a, b, c, d = (x[..., None] for x in minv)
+        r0 = a * t1 + c * n
+        r1r = t2v
+        r2r = b * t1 + d * n
 
     def xform(q):
-        return jnp.matmul(m, (q - p)[..., :, None])[..., 0]
+        dq = q - p
+        return normalize(jnp.stack(
+            [dot(r0, dq), dot(r1r, dq), dot(r2r, dq)], axis=-1))
 
-    l0 = normalize(xform(p0))
-    l1 = normalize(xform(p1))
-    l2 = normalize(xform(p2))
+    l0 = xform(p0)
+    l1 = xform(p1)
+    l2 = xform(p2)
 
     behind = dot(p0 - p, light_normal) < 0.0
 

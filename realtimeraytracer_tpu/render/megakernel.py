@@ -92,7 +92,6 @@ def shade_sample(
     shadow_origin = p + n * cfg.shadow_origin_offset
     lam = lambert_diffuse(surf.albedo, surf.metallic)  # (R, 3)
 
-    identity = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (R, 3, 3))
     num_s = cfg.shadow_rays
     valid_f = surf.valid.astype(jnp.float32)[:, None]
 
@@ -158,9 +157,9 @@ def shade_sample(
         shadowed_s = jnp.mean(lit[..., None] * contrib, axis=1)
         unshadowed_s = jnp.mean(contrib, axis=1)
 
-        # Analytic LTC (raygen.rgen:277-283).
+        # Analytic LTC (raygen.rgen:277-283); None = identity Minv (diffuse).
         two_b = jnp.broadcast_to(ltwo, (R,))
-        diffuse = ltc_evaluate(n, view, p, identity, p0, p1, p2, nlu, two_b, gpu.ltc2)
+        diffuse = ltc_evaluate(n, view, p, None, p0, p1, p2, nlu, two_b, gpu.ltc2)
         specular = ltc_evaluate(n, view, p, minv, p0, p1, p2, nlu, two_b, gpu.ltc2)
         analytic_c = (
             lcolor[None, :]
@@ -184,9 +183,17 @@ def shade_sample(
         gpu.lt_color, gpu.lt_intensity, gpu.lt_two_sided, gpu.lt_valid,
         jnp.arange(lt_count, dtype=jnp.int32),
     )
-    (analytic, shadowed, unshadowed), _ = jax.lax.scan(
-        light_tri_step, (zeros, zeros, zeros), lts
-    )
+    if lt_count <= 8:
+        # Unrolled: scan/while bodies pin (R,3) temps into padded layouts
+        # on TPU (observed 40x HBM expansion inside the loop body at 1080p).
+        carry = (zeros, zeros, zeros)
+        for i in range(lt_count):
+            carry, _ = light_tri_step(carry, tuple(x[i] for x in lts))
+        analytic, shadowed, unshadowed = carry
+    else:
+        (analytic, shadowed, unshadowed), _ = jax.lax.scan(
+            light_tri_step, (zeros, zeros, zeros), lts
+        )
 
     # --- directional sun (raygen.rgen:288-338) ---------------------------
     sun_ndotl_raw = dot(n, gpu.sun_direction[None, :])

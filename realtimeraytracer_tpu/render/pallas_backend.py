@@ -141,7 +141,7 @@ def _visit_kernel(cand_ref, entry_ref, rays_ref, clusters_hbm,
         return go & (nxt < BIG) & (nxt <= worst)
 
     def body(state):
-        j, prefetched, best_t, best_k, best_u, best_v = state
+        j, prefetched, best_t, best_k = state
         slot = jax.lax.rem(j, 2)
 
         # Double buffering: visit j's DMA was usually prefetched by the
@@ -187,36 +187,30 @@ def _visit_kernel(cand_ref, entry_ref, rays_ref, clusters_hbm,
             tm = jnp.where(ok & (t <= jnp.minimum(best_t, tmax_c)), t, BIG)
             col_best = jnp.min(tm, axis=1, keepdims=True)    # (128, 1)
             better = col_best < best_t
-            onehot = tm == col_best
-            # Resolve argmin ties to the lowest lane id.
+            # Lane argmin with lowest-lane tie-break; the winner's (u, v)
+            # are recomputed OUTSIDE the kernel from its triangle id (same
+            # differentiable recompute the surface pass does anyway).
             lane = jax.lax.broadcasted_iota(jnp.int32, (TILE, K), 1)
-            big_lane = jnp.where(onehot, lane, K)
+            big_lane = jnp.where(tm == col_best, lane, K)
             kmin = jnp.min(big_lane, axis=1, keepdims=True)  # (128, 1)
-            sel = lane == kmin
-            u_best = jnp.sum(jnp.where(sel, u, 0.0), axis=1, keepdims=True)
-            v_best = jnp.sum(jnp.where(sel, v, 0.0), axis=1, keepdims=True)
             cid = cand_at(j)
             best_t = jnp.where(better, col_best, best_t)
             best_k = jnp.where(better, cid * K + kmin, best_k)
-            best_u = jnp.where(better, u_best, best_u)
-            best_v = jnp.where(better, v_best, best_v)
         else:
             hit_any = jnp.any(ok & (t < tmax_c), axis=1, keepdims=True)
             # Collapse best_t so the stop rule exits once all rays resolve
             # (occluded rays carry -BIG; the 'occluded' flag is t < 0).
             best_t = jnp.where(hit_any, -BIG, best_t)
 
-        return j + 1, will_prefetch, best_t, best_k, best_u, best_v
+        return j + 1, will_prefetch, best_t, best_k
 
     init = (
         jnp.int32(0),
         jnp.bool_(False),
         jnp.full((TILE, 1), BIG, F32),
         jnp.full((TILE, 1), -1, jnp.int32),
-        jnp.zeros((TILE, 1), F32),
-        jnp.zeros((TILE, 1), F32),
     )
-    j_end, prefetched_end, best_t, best_k, best_u, best_v = jax.lax.while_loop(
+    j_end, prefetched_end, best_t, best_k = jax.lax.while_loop(
         cond, body, init)
 
     # A speculative prefetch for j_end may still be in flight: retire it.
@@ -226,8 +220,6 @@ def _visit_kernel(cand_ref, entry_ref, rays_ref, clusters_hbm,
 
     if mode == "closest":
         outf_ref[0, 0, :] = best_t[:, 0]
-        outf_ref[0, 1, :] = best_u[:, 0]
-        outf_ref[0, 2, :] = best_v[:, 0]
         outi_ref[0, 0, :] = best_k[:, 0]
     else:
         outf_ref[0, 0, :] = jnp.where(best_t[:, 0] < 0.0, 1.0, 0.0)
@@ -294,9 +286,18 @@ def _run(gpu: GPUScene, cfg: RenderConfig, origins, dirs, t_min, t_max, mode):
     )(cand, entry, rays, clusters)
 
     tb = outf[:, 0, :].reshape(-1)[:r_orig]
-    ub = outf[:, 1, :].reshape(-1)[:r_orig]
-    vb = outf[:, 2, :].reshape(-1)[:r_orig]
     kb = outi[:, 0, :].reshape(-1)[:r_orig]
+    if mode == "closest":
+        # One exact Moller-Trumbore on each ray's winning triangle gives
+        # (u, v) — cheaper than extracting them per visit in the kernel.
+        sid = jnp.clip(kb, 0, gpu.bvh_tri_v0.shape[0] - 1)
+        t_, ub, vb, ok_ = intersect.ray_triangle(
+            origins[:r_orig], dirs[:r_orig], gpu.bvh_tri_v0[sid],
+            gpu.bvh_tri_v1[sid], gpu.bvh_tri_v2[sid])
+        ub = jnp.where(kb >= 0, ub, 0.0)
+        vb = jnp.where(kb >= 0, vb, 0.0)
+    else:
+        ub = vb = jnp.zeros_like(tb)
     return tb, kb, ub, vb
 
 

@@ -15,7 +15,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from realtimeraytracer_tpu.ops.intersect import HitRecord
+from realtimeraytracer_tpu.ops.intersect import HitRecord, ray_triangle
 from realtimeraytracer_tpu.ops.texture import sample_atlas
 from realtimeraytracer_tpu.ops.tonemap import srgb_to_linear
 from realtimeraytracer_tpu.ops.vecmath import normalize
@@ -55,8 +55,6 @@ def resolve_surface(gpu: GPUScene, hit: HitRecord,
     # the traversal backend intersected constant BVH copies (SURVEY.md §7:
     # "backward must reuse forward hit records ... differentiate only the
     # continuous quantities").
-    from realtimeraytracer_tpu.ops.intersect import ray_triangle
-
     rt_t, rt_u, rt_v, rt_ok = ray_triangle(
         origins, dirs, gpu.vertices[f[..., 0]], gpu.vertices[f[..., 1]],
         gpu.vertices[f[..., 2]],

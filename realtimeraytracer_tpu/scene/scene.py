@@ -259,7 +259,8 @@ class Scene:
             faces=j(faces_arr), face_obj=j(face_obj_arr),
             obj_color=j(oc), obj_specular=j(osp), obj_metallic=j(om),
             obj_is_light=j(ol), obj_tex=j(ot),
-            sph_center=j(cat(sph_center and [np.stack(sph_center)] or [], (0, 3))),
+            sph_center=j(np.stack(sph_center) if sph_center
+                         else np.zeros((0, 3), np.float32)),
             sph_radius=j(np.asarray(sph_radius, np.float32)),
             sph_obj=j(np.asarray(sph_obj, np.int32)),
             lt_v0=j(ltv0), lt_v1=j(ltv1), lt_v2=j(ltv2),
