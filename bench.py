@@ -33,8 +33,7 @@ def main() -> None:
     width, height = (320, 180) if small else (1920, 1080)
 
     from realtimeraytracer_tpu.config import RenderConfig
-    from realtimeraytracer_tpu.ops.camera_rays import generate_rays
-    from realtimeraytracer_tpu.render.backends import make_backend
+    from realtimeraytracer_tpu.ops.camera_rays import generate_ray_blocks
     from realtimeraytracer_tpu import scenes
 
     cfg = RenderConfig(width=width, height=height, primary_rays=1,
@@ -43,16 +42,27 @@ def main() -> None:
     gpu = scene.compile(bvh_leaf_size=cfg.bvh_leaf_size)
     frame = scene.camera.viewport_frame(width, height)
 
-    from realtimeraytracer_tpu.ops.camera_rays import block_permutation
+    if jax.default_backend() == "tpu":
+        from realtimeraytracer_tpu.render import pallas_backend as pb
 
-    perm, _ = block_permutation(width, height)
+        @jax.jit
+        def trace(g, fr, sample):
+            rays = generate_ray_blocks(
+                fr, width, height, sample_index=sample, jitter=True,
+                t_min=cfg.t_min, t_max=cfg.t_max)
+            outf, outi = pb.trace_blocks(g, cfg, rays, "closest")
+            return outf[:, 0, :], outi[:, 0, :]
+    else:
+        from realtimeraytracer_tpu.ops.camera_rays import generate_rays
+        from realtimeraytracer_tpu.render.backends import make_backend
 
-    @jax.jit
-    def trace(g, fr, sample):
-        backend = make_backend(g, cfg)
-        o, d = generate_rays(fr, width, height, sample_index=sample, jitter=True)
-        hit = backend.closest(o[perm], d[perm], cfg.t_min, cfg.t_max)
-        return hit.t, hit.prim_id
+        @jax.jit
+        def trace(g, fr, sample):
+            backend = make_backend(g, cfg)
+            o, d = generate_rays(fr, width, height, sample_index=sample,
+                                 jitter=True)
+            hit = backend.closest(o, d, cfg.t_min, cfg.t_max)
+            return hit.t, hit.prim_id
 
     n_rays = width * height
     # Warm-up / compile.
@@ -63,15 +73,17 @@ def main() -> None:
 
     hit_frac = float(jnp.mean((p >= 0).astype(jnp.float32)))
 
-    iters = 3 if small else 5
-    times = []
-    for i in range(iters):
-        t0 = time.perf_counter()
-        t, p = trace(gpu, frame, jnp.uint32(i + 1))
-        t.block_until_ready()
-        times.append(time.perf_counter() - t0)
-    times.sort()
-    median = times[len(times) // 2]
+    # Pipelined timing: submit N frames, sync once.  Real renderers keep
+    # frames in flight (unlike the reference's per-pass waitIdle,
+    # SURVEY.md §6 "known perf sins"); per-call host sync would measure
+    # the host<->device round trip, not the chip.
+    samples = [jnp.uint32(i + 1) for i in range(16)]
+    jax.block_until_ready(samples)
+    iters = 4 if small else 16
+    t0 = time.perf_counter()
+    outs = [trace(gpu, frame, samples[i % 16]) for i in range(iters)]
+    jax.block_until_ready(outs)
+    median = (time.perf_counter() - t0) / iters
     rays_per_s = n_rays / median
 
     baseline = 1e9

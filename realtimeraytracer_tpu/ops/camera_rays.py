@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from realtimeraytracer_tpu.ops import rng
@@ -54,6 +55,87 @@ def pixel_grid(width: int, height: int) -> tuple[jnp.ndarray, jnp.ndarray]:
     py = jnp.broadcast_to(jnp.arange(height, dtype=jnp.int32)[:, None], (height, width))
     px = jnp.broadcast_to(jnp.arange(width, dtype=jnp.int32)[None, :], (height, width))
     return px, py
+
+
+def generate_ray_blocks(
+    frame: ViewportFrame,
+    width: int,
+    height: int,
+    sample_index: int | jnp.ndarray = 0,
+    jitter: bool = True,
+    t_min: float = 1e-3,
+    t_max: float = 1e4,
+    block_w: int = 16,
+    block_h: int = 8,
+) -> jnp.ndarray:
+    """Primary rays directly in the traversal kernel's packed tile layout.
+
+    Returns (Ts, 8, 128) float32 blocks — rows [o.xyz | d.xyz | t_min |
+    t_max] — where each tile is one (block_h x block_w) pixel block, so
+    tiles have tight direction cones for frustum culling.  Everything is
+    pixel-block iota math: no (R, 3) intermediates (whose 3-wide lane dim
+    pads 3 -> 128 on TPU) and no permutation gather.  Jitter matches
+    generate_rays (same per-pixel counter hash).  Out-of-image lanes (when
+    width/height don't divide the block size) get t_min=+BIG, t_max=-BIG
+    so traversal retires them immediately.
+    """
+    lanes = block_w * block_h
+    assert lanes == 128, "tile layout is fixed at 128 lanes"
+    bx = -(-width // block_w)
+    by = -(-height // block_h)
+    ts = bx * by
+
+    tid = jax.lax.broadcasted_iota(jnp.int32, (ts, lanes), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (ts, lanes), 1)
+    px = (tid % bx) * block_w + lane % block_w
+    py = (tid // bx) * block_h + lane // block_w
+    valid = (px < width) & (py < height)
+
+    s = jnp.uint32(sample_index)
+    if jitter:
+        base = py.astype(jnp.uint32) * jnp.uint32(width) + px.astype(jnp.uint32)
+        jx = rng.uniform(base + s)
+        jy = rng.uniform(base + s * jnp.uint32(322) + jnp.uint32(7919))
+    else:
+        jx = jnp.float32(0.5)
+        jy = jnp.float32(0.5)
+    ox = px.astype(jnp.float32) + jx - 0.5
+    oy = py.astype(jnp.float32) + jy - 0.5
+
+    d = [
+        frame.top_left[a] + ox * frame.h_delta[a] + oy * frame.v_delta[a]
+        - frame.position[a]
+        for a in range(3)
+    ]
+    inv_n = jax.lax.rsqrt(d[0] * d[0] + d[1] * d[1] + d[2] * d[2])
+    big = jnp.float32(3.0e38)
+    return jnp.stack(
+        [
+            jnp.broadcast_to(frame.position[0], (ts, lanes)),
+            jnp.broadcast_to(frame.position[1], (ts, lanes)),
+            jnp.broadcast_to(frame.position[2], (ts, lanes)),
+            d[0] * inv_n, d[1] * inv_n, d[2] * inv_n,
+            jnp.where(valid, jnp.float32(t_min), big),
+            jnp.where(valid, jnp.float32(t_max), -big),
+        ],
+        axis=1,
+    )
+
+
+def blocks_to_image_scatter(width: int, height: int, block_w: int = 16,
+                            block_h: int = 8):
+    """Static (Ts*128,) -> raster flat index for unpacking blocked outputs.
+
+    image_flat = blocked_flat[scatter] where scatter[y*width + x] is the
+    blocked position of pixel (x, y).  Host NumPy, embedded as constants.
+    """
+    import numpy as np
+
+    bx = -(-width // block_w)
+    py, px = np.mgrid[0:height, 0:width]
+    tid = (py // block_h) * bx + (px // block_w)
+    lane = (py % block_h) * block_w + (px % block_w)
+    return jnp.asarray((tid * (block_w * block_h) + lane).reshape(-1))
 
 
 def generate_rays(

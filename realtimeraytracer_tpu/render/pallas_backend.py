@@ -1,34 +1,50 @@
-"""Pallas traversal kernel: per-tile cluster visits without global lockstep.
+"""Pallas traversal kernel: packed-key ordered visits, MXU intersection.
 
-Fourth backend generation (see wide_backend.py).  The wide backend's one
-weakness is XLA lockstep: its while loop advances ALL ray tiles together,
-so every step pays for every tile until the slowest tile finishes.  Here
-each Pallas grid cell owns ONE tile of 128 rays and runs its OWN visit
-loop with per-tile early exit — total work is the sum of per-tile visit
-counts, not tiles x max.
+Fifth backend generation (ladder: bvh_backend -> packet_backend ->
+wide_backend -> pallas v1 -> this).  Profiling v1 on a v5e chip showed
+the XLA argsort of per-tile cluster candidates cost 4x the whole visit
+kernel, the (R, 3) ray layout padded 3 -> 128 lanes everywhere, and
+in-kernel scalar work (interval culling, argmin selection) serialized
+against the vector units.  This design splits the work by what each unit
+is good at:
 
-Layout (all chosen for the f32 (8, 128) VMEM tile):
-  * rays:      (Ts, 8, 128) — rows o.xyz, d.xyz, t_min, t_max; one VMEM
-               tile per ray tile;
-  * clusters:  (C, 16, K=128) — per-cluster Baldwin-Weber rows
-               [n.xyz r1.xyz r2.xyz | n.A r1.A r2.A | valid] along
-               sublanes, K triangles along lanes; stays in HBM and is
-               DMA'd per visit into a double-buffered VMEM scratch;
-  * candidates:(Ts, V) int32 cluster ids + (Ts, V) f32 entry lower bounds,
-               sorted ascending — produced by the wide backend's
-               interval-arithmetic culling (XLA phase A);
-  * per-visit math is dense (128 rays x 128 tris) VPU FMA nests; the
-    winning triangle's (u, v) are extracted with one-hot masked sums (TPU
-    has no per-lane gather).
+  * rays live in hardware-native (Ts, 8, 128) tiles end to end — rows
+    [o.xyz | d.xyz | t_min | t_max], one (16x8)-pixel block per tile
+    (ops/camera_rays.generate_ray_blocks emits them with pure iota math);
+  * XLA culls every cluster AABB against each tile's ray-bundle cone
+    (interval arithmetic, dense (Ts, C) vector math) and emits per tile a
+    block of **packed int32 keys**: the entry-distance lower bound's f32
+    bits with the low bits replaced by the cluster id.  Positive-float
+    bitcasts preserve order, and clearing the id bits only rounds the
+    lower bound DOWN, so key order is entry order and the stop rule stays
+    exact.  No sort anywhere — the kernel pops candidates with one
+    min-reduction each;
+  * the kernel owns the ordered-visit loop.  Per iteration it pops the
+    PACK nearest remaining clusters, DMAs their premultiplied
+    Baldwin-Weber coefficient panels (6, 8, K) from HBM into a composite
+    (6, 8, 128) scratch — small clusters (K=32) keep boxes tight so far
+    fewer triangles are tested, while the composite keeps every VPU op
+    at full 128-lane width — and intersects 128 rays x 128 triangles
+    with six (8,128)^T x (8,128) MXU matmuls (S_f = R^T P_f giving
+    n.o - n.A, n.d, r1.o - r1.A, r1.d, r2.o - r2.A, r2.d for every
+    (ray, tri) pair); the VPU epilogue forms t = -S0/S1,
+    u = S2 + t S3, v = S4 + t S5 and min-reduces per ray.  DMA groups
+    alternate so the next pack streams in while the current computes;
+  * visits stop when the nearest remaining entry exceeds every ray's
+    current best t (classic ordered-traversal exactness; duplicate or
+    past-the-stop visits are idempotent, so the tail needs no masking).
 
-The stop rule matches wide_backend: visits end when the next candidate's
-entry lower bound exceeds every ray's current best t (exact, since
-candidates are entry-sorted lower bounds).
+Capability parity: this replaces the reference's hardware BVH query
+(traceRayEXT at src/shaders/raygen.rgen:99-107 over the BLAS/TLAS stack,
+src/vulkan/raytracing/blas.cppm:75-167, tlas.cppm:44-149).  Two-level
+instancing is flattened at scene compile; alpha-tested any-hit
+(opacity.rahit) wraps this backend in render/alpha.py.
 """
 
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -38,18 +54,31 @@ from jax.experimental.pallas import tpu as pltpu
 from realtimeraytracer_tpu.config import RenderConfig
 from realtimeraytracer_tpu.ops import intersect
 from realtimeraytracer_tpu.ops.intersect import BIG_T, HitRecord
-
-# Python float for in-kernel use (a jnp scalar would be a captured constant,
-# which pallas kernels reject).
-BIG = 3.0e38
 from realtimeraytracer_tpu.render.backends import TraceBackend, _merge_sphere_hits
-from realtimeraytracer_tpu.render.wide_backend import _cluster_entries, build_wide
+from realtimeraytracer_tpu.render.wide_backend import build_wide
 from realtimeraytracer_tpu.scene.gpu_scene import GPUScene
 
 F32 = jnp.float32
+I32 = jnp.int32
 TILE = 128          # rays per tile (lanes of the ray block)
-K = 128             # triangles per cluster (lanes of the cluster block)
-ROWS = 16           # cluster block sublanes (10 used + valid row + pad)
+K = int(_os.environ.get("PB_K", "32"))   # triangles per cluster
+BT = int(_os.environ.get("PB_BT", "8"))  # ray tiles per grid step
+_ABLATE = _os.environ.get("PB_ABLATE", "")     # "", "empty", "novisit"
+_MAX_VISITS = int(_os.environ.get("PB_MAX_VISITS", "0"))  # 0 = unlimited
+_VARIANT = _os.environ.get("PB_VARIANT", "mxu")  # "mxu" | "fma"
+PACK = 128 // K     # clusters intersected per visit (composite width 128)
+CPB = 1024          # clusters per (8, 128) key block
+# Python float for in-kernel use (a jnp scalar would be a captured constant,
+# which pallas kernels reject).
+BIG = 3.0e38
+EPS = 1e-12
+INVALID = 0x7F800000                     # +inf bits: "no candidate left"
+# (a Python int: jnp scalars become captured constants, which pallas
+# kernels reject)
+
+
+def _id_bits(total_clusters: int) -> int:
+    return max(13, int(total_clusters - 1).bit_length())
 
 
 def _pack_rays(origins, dirs, t_min, t_max):
@@ -75,155 +104,434 @@ def _pack_rays(origins, dirs, t_min, t_max):
     return blk, r, ts
 
 
-def pack_clusters(gpu: GPUScene) -> jnp.ndarray:
-    """(C, 16, 128) cluster blocks from the Morton/SAH-sorted soup.
+# Panel storage geometry: DMA units must be whole (x, 128) lane rows, so
+# each cluster's six (8, K) coefficient families are tiled into a compact
+# (8 * ROWBANDS, 128) block — family f lives at sublanes
+# [8*(f // BPR), +8), lanes [K*(f % BPR), +K).
+BPR = 128 // K                   # family blocks per 128-lane row band
+ROWBANDS = -(-6 // BPR)
+PROWS = 8 * ROWBANDS
 
-    Rows: 0-2 n.xyz, 3-5 r1.xyz, 6-8 r2.xyz, 9 n.A, 10 r1.A, 11 r2.A,
-    12 valid flag (1/0), 13-15 zero.
+
+def _family_pos(f: int) -> tuple[int, int]:
+    return 8 * (f // BPR), K * (f % BPR)
+
+
+def pack_clusters_np(tv0, tv1, tv2):
+    """NumPy twin of pack_clusters, run ONCE at scene compile.
+
+    (T, 3) Morton/SAH-sorted triangle vertices -> (panels, cl_min, cl_max)
+    as numpy arrays; see pack_clusters for the layout contract.
+    """
+    import numpy as np
+
+    t = tv0.shape[0]
+    c = -(-t // K)
+    pad = c * K - t
+
+    def padv(x):
+        x = np.asarray(x, np.float32)
+        return np.concatenate([x, np.zeros((pad, 3), np.float32)]) if pad else x
+
+    v0, v1, v2 = padv(tv0), padv(tv1), padv(tv2)
+    e1, e2 = v1 - v0, v2 - v0
+    n = np.cross(e1, e2)
+    det = (n * n).sum(-1, keepdims=True)
+    inv = np.where(det > 1e-24, 1.0 / np.where(det > 1e-24, det, 1.0), 0.0)
+    r1 = np.cross(e2, n) * inv
+    r2 = np.cross(n, e1) * inv
+    rows = np.stack([n, r1, r2], 1).astype(np.float32)      # (T', 3, 3)
+    offs = (rows * v0[:, None, :]).sum(-1).astype(np.float32)  # (T', 3)
+
+    panels = np.zeros((c, PROWS, 128), np.float32)
+    rows_c = rows.reshape(c, K, 3, 3)
+    offs_c = offs.reshape(c, K, 3)
+    for f, (row_idx, want_d) in enumerate(
+            [(0, False), (0, True), (1, False), (1, True),
+             (2, False), (2, True)]):
+        rs, cs = _family_pos(f)
+        lo = rs + (4 if want_d else 0)
+        panels[:, lo:lo + 3, cs:cs + K] = rows_c[:, :, row_idx, :].transpose(0, 2, 1)
+        if not want_d:
+            panels[:, rs + 3, cs:cs + K] = -offs_c[:, :, row_idx]
+
+    tmin = np.minimum(np.minimum(v0, v1), v2).reshape(c, K, 3)
+    tmax = np.maximum(np.maximum(v0, v1), v2).reshape(c, K, 3)
+    if pad:
+        valid = (np.arange(c * K) < t).reshape(c, K, 1)
+        tmin = np.where(valid, tmin, BIG_T)
+        tmax = np.where(valid, tmax, -BIG_T)
+    return panels, tmin.min(1).astype(np.float32), tmax.max(1).astype(np.float32)
+
+
+def pack_clusters(gpu: GPUScene):
+    """Scene -> (panels, cl_min, cl_max) for the kernel.
+
+    panels: (C, PROWS, 128) premultiplied Baldwin-Weber coefficient
+      panels; family f (an (8, K) matmul rhs) sits at _family_pos(f).
+      With ray row R = [o.x o.y o.z 1 d.x d.y d.z 0] the product R P_f
+      yields [n.o - n.A, n.d, r1.o - r1.A, r1.d, r2.o - r2.A, r2.d][f].
+      Padded triangles are all-zero (plane normal 0 -> rejected by the
+      denominator test), so no validity lane is needed.
+    cl_min/cl_max: (C, 3) cluster AABBs for the XLA cull.
     """
     wd = build_wide(gpu, K)
     c = wd.cl_min.shape[0]
     rows = wd.bw_rows.reshape(c, K, 3, 3)       # (C, K, [n r1 r2], xyz)
-    offs = wd.bw_offs.reshape(c, K, 3)
-    t = wd.num_tris
-    valid = (jnp.arange(c * K) < t).reshape(c, K).astype(F32)
-    blk = jnp.concatenate(
-        [
-            rows[:, :, 0, :].transpose(0, 2, 1),     # n.xyz   -> rows 0-2
-            rows[:, :, 1, :].transpose(0, 2, 1),     # r1.xyz  -> rows 3-5
-            rows[:, :, 2, :].transpose(0, 2, 1),     # r2.xyz  -> rows 6-8
-            offs.transpose(0, 2, 1),                 # A-offs  -> rows 9-11
-            valid[:, None, :],                       # valid   -> row 12
-            jnp.zeros((c, 3, K), F32),               # pad     -> rows 13-15
-        ],
-        axis=1,
-    )
-    return blk
+    offs = wd.bw_offs.reshape(c, K, 3)          # (C, K, [n.A r1.A r2.A])
+
+    panels = jnp.zeros((c, PROWS, 128), F32)
+    for f, (row_idx, want_d) in enumerate(
+            [(0, False), (0, True), (1, False), (1, True),
+             (2, False), (2, True)]):
+        coeff = rows[:, :, row_idx, :].transpose(0, 2, 1)   # (C, 3, K)
+        rs, cs = _family_pos(f)
+        lo = rs + (4 if want_d else 0)
+        panels = panels.at[:, lo:lo + 3, cs:cs + K].set(coeff)
+        if not want_d:
+            panels = panels.at[:, rs + 3, cs:cs + K].set(
+                -offs[:, :, row_idx])
+    return panels, wd.cl_min, wd.cl_max
 
 
-def _visit_kernel(cand_ref, entry_ref, rays_ref, clusters_hbm,
-                  outf_ref, outi_ref,
-                  scratch, sems, *, v_max, mode):
-    """One grid cell = one ray tile. mode: 'closest' or 'occluded'.
+def cull_keys(rays, cl_min, cl_max):
+    """Per-tile packed candidate keys (Ts, CBn, 8, 128) int32, XLA-side.
 
-    Outputs are (1, 8, 128) blocks (the minimum f32 VMEM tile): outf rows
-    0-2 = best t/u/v, outi row 0 = best sorted-tri id (or occluded flag).
-    Candidate ids/entries live in SMEM blocks of 8 tile-rows shared by 8
-    consecutive grid cells (SMEM sublane-divisibility rule); all per-ray
-    state uses column layout (TILE, 1) so no lane<->sublane transposes
-    happen inside the visit loop.
+    Interval-arithmetic slab test of every cluster AABB against each
+    tile's ray bundle (origin box x direction interval): conservative
+    (false positives only cost visits) and yields an entry-distance
+    LOWER bound, keeping the kernel's ordered-visit stop rule exact.
+    The key packs the bound's f32 bits (id-bits cleared = rounded down,
+    still a lower bound) with the cluster id.
     """
-    row = jax.lax.rem(pl.program_id(0), 8)
+    ts = rays.shape[0]
+    c = cl_min.shape[0]
+    cbn = -(-c // CPB)
+    bits = _id_bits(cbn * CPB)
+    id_mask = (1 << bits) - 1
 
-    def cand_at(j):
-        return cand_ref[row, j]
+    tmin_lb = rays[:, 6, :].min(axis=1)[:, None]
+    tmax_ub = rays[:, 7, :].max(axis=1)[:, None]
 
-    def entry_at(j):
-        return entry_ref[row, j]
+    # Per-axis 2D loop: every intermediate is (Ts, C) or (Ts, 1) — no
+    # (Ts, C, 3) tensors for XLA to materialize.
+    tn = None
+    tf = None
+    safe = lambda x: jnp.where(jnp.abs(x) > EPS, x, EPS)
+    for a in range(3):
+        o_lo = rays[:, a, :].min(axis=1)[:, None]          # (Ts, 1)
+        o_hi = rays[:, a, :].max(axis=1)[:, None]
+        d_lo = rays[:, 3 + a, :].min(axis=1)[:, None]
+        d_hi = rays[:, 3 + a, :].max(axis=1)[:, None]
+        span = (d_lo > EPS) | (d_hi < -EPS)                # sign-definite
+        inv_lo = jnp.where(span, 1.0 / safe(d_hi), -BIG)
+        inv_hi = jnp.where(span, 1.0 / safe(d_lo), BIG)
 
-    def rayc(r):
-        return rays_ref[0, r, :][:, None]       # (128, 1) column
+        def times(a_lo, a_hi, b_lo, b_hi):
+            p1, p2 = a_lo * b_lo, a_lo * b_hi
+            p3, p4 = a_hi * b_lo, a_hi * b_hi
+            return (jnp.minimum(jnp.minimum(p1, p2), jnp.minimum(p3, p4)),
+                    jnp.maximum(jnp.maximum(p1, p2), jnp.maximum(p3, p4)))
 
-    tmin_c = rayc(6)
-    tmax_c = rayc(7)
+        bmin = cl_min[None, :, a]                          # (1, C)
+        bmax = cl_max[None, :, a]
+        t0l, t0h = times(bmin - o_hi, bmin - o_lo, inv_lo, inv_hi)
+        t1l, t1h = times(bmax - o_hi, bmax - o_lo, inv_lo, inv_hi)
+        lo_a = jnp.minimum(t0l, t1l)
+        hi_a = jnp.maximum(t0h, t1h)
+        tn = lo_a if tn is None else jnp.maximum(tn, lo_a)
+        tf = hi_a if tf is None else jnp.minimum(tf, hi_a)
+    possible = (tn <= tf) & (tf >= tmin_lb) & (tn <= tmax_ub)
 
-    def dma(slot, j):
-        cid = cand_at(j)
+    ent = jnp.maximum(tn, 0.0)
+    ids = jnp.arange(c, dtype=I32)[None, :]
+    key = (jax.lax.bitcast_convert_type(ent, I32) & ~id_mask) | ids
+    key = jnp.where(possible, key, INVALID)
+    pad = cbn * CPB - c
+    if pad:
+        key = jnp.concatenate(
+            [key, jnp.full((ts, pad), INVALID, I32)], axis=1)
+    return key.reshape(ts, cbn, 8, 128), id_mask
+
+
+def _trace_kernel(rays_ref, keys_ref, panels_hbm, outf_ref, outi_ref,
+                  ent_ref, panel_buf, sems, *, cbn, c, mode, id_mask):
+    """One grid cell = BT 128-ray tiles; mode 'closest' or 'occluded'.
+
+    BT tiles share one grid step (fori_loop below) because Mosaic
+    serializes grid steps whose kernels hold manual DMAs inside a while
+    loop — batching amortizes that per-step cost.
+
+    Scratch: ent_ref (cbn, 8, 128) int32 remaining candidate keys,
+    panel_buf (2, PACK, PROWS, 128) double-buffered compact-panel DMA
+    target, sems (2, PACK) DMA semaphores.
+    """
+    if _ABLATE == "empty":                       # grid machinery only
+        outf_ref[0, 0, :] = rays_ref[0, 6, :]
+        outf_ref[0, 1, :] = rays_ref[0, 7, :]
+        outf_ref[0, 2, :] = rays_ref[0, 0, :]
+        outi_ref[0, 0, :] = keys_ref[0, 0, 0, :]
+        outi_ref[0, 1, :] = keys_ref[0, 0, 1, :]
+        return
+
+    jax.lax.fori_loop(
+        0, BT,
+        lambda b, _: _tile_body(b, rays_ref, keys_ref, panels_hbm, outf_ref,
+                                outi_ref, ent_ref, panel_buf, sems,
+                                cbn=cbn, c=c, mode=mode, id_mask=id_mask),
+        jnp.int32(0))
+
+
+def _tile_body(b, rays_ref, keys_ref, panels_hbm, outf_ref, outi_ref,
+               ent_ref, panel_buf, sems, *, cbn, c, mode, id_mask):
+    """Full ordered-visit trace of ONE 128-ray tile (index b in the step)."""
+    rays = rays_ref[b]                           # (8, 128)
+    tmin_c = rays[6, :][:, None]                 # (128, 1) column
+    tmax_c = rays[7, :][:, None]
+
+    ent_ref[...] = keys_ref[b]
+
+    def pop_group():
+        """Pop PACK near-minimal keys with ONE full-array pass.
+
+        Lane-distinct selection: reduce to per-lane minima (1, 128), then
+        take PACK successive minima of that small vector.  The first is
+        the true global minimum (so the ordered-visit stop rule stays
+        exact); later ones are merely near-minimal, which only perturbs
+        visit order, not correctness.  One masked write retires all PACK.
+        """
+        e = ent_ref[...]
+        lane_min = jnp.min(e, axis=(0, 1), keepdims=True)[0]   # (1, 128)
+        ms = []
+        for _ in range(PACK):
+            m = jnp.min(lane_min)
+            ms.append(m)
+            if PACK > 1:
+                lane_min = jnp.where(lane_min == m, INVALID, lane_min)
+        popped = e == ms[0]
+        for m in ms[1:]:
+            popped = popped | (e == m)
+        ent_ref[...] = jnp.where(popped, INVALID, e)
+        return ms
+
+    def dma(group, u, key):
+        cid = jnp.minimum(key & id_mask, c - 1)
         return pltpu.make_async_copy(
-            clusters_hbm.at[cid], scratch.at[slot], sems.at[slot])
+            panels_hbm.at[cid], panel_buf.at[group, u], sems.at[group, u])
+
+    def composite(group):
+        """(8, 768) matmul rhs: 6 families x PACK clusters side by side."""
+        parts = []
+        for f in range(6):
+            rs, cs = _family_pos(f)
+            parts += [panel_buf[group, u, rs:rs + 8, cs:cs + K]
+                      for u in range(PACK)]
+        return jnp.concatenate(parts, axis=1)
+
+    # Matmul lhs: rays extended with a ones row (for the -A offsets) and a
+    # zeros row, so S_f = lhs^T P_f gives the six inner-product families.
+    lhs = jnp.concatenate(
+        [rays[0:3], jnp.ones((1, TILE), F32), rays[3:6],
+         jnp.zeros((1, TILE), F32)], axis=0)     # (8, 128)
+
+    lane = jax.lax.broadcasted_iota(I32, (TILE, 1), 0)  # 0..127 column
 
     def cond(state):
-        j = state[0]
-        best_t = state[2]
-        go = j < v_max
-        nxt = entry_at(jnp.minimum(j, v_max - 1))
-        worst = jnp.max(jnp.minimum(best_t, tmax_c))
-        return go & (nxt < BIG) & (nxt <= worst)
+        keys, best_t, best_k, uv_c, visits = state
+        limit_bits = jax.lax.bitcast_convert_type(
+            jnp.minimum(best_t, tmax_c), I32)
+        worst = jnp.max(limit_bits)              # int-ordered: pads (<0) lose
+        go = (keys[0] != INVALID) & ((keys[0] & ~id_mask) <= worst)
+        if _ABLATE in ("novisit", "nopop", "nodma"):
+            go = go & (visits < 0)
+        elif _MAX_VISITS:
+            go = go & (visits < _MAX_VISITS)
+        return go
 
     def body(state):
-        j, prefetched, best_t, best_k = state
-        slot = jax.lax.rem(j, 2)
+        keys, best_t, best_k, uv_c, visits = state
+        g = jax.lax.rem(visits, 2)
 
-        # Double buffering: visit j's DMA was usually prefetched by the
-        # previous iteration; issue it now only on the first iteration.
-        @pl.when(jnp.logical_not(prefetched))
-        def _():
-            dma(slot, j).start()
+        # Pop + start the NEXT pack's DMAs while this pack computes.
+        nxt = pop_group()
+        for u in range(PACK):
+            dma(1 - g, u, nxt[u]).start()
+        if _ABLATE != "nowait":                  # perf probe only
+            for u in range(PACK):
+                dma(g, u, keys[u]).wait()
 
-        # Speculatively prefetch j+1 while j computes. The speculation
-        # ignores the best-t stop rule, so the epilogue below must wait on
-        # a possibly-dangling prefetch.
-        will_prefetch = (j + 1 < v_max) & (entry_at(jnp.minimum(j + 1, v_max - 1)) < BIG)
+        if _VARIANT == "fma":
+            # 21 outer-product FMAs on the VPU: exact f32, no MXU passes.
+            comp = composite(g)                  # (8, 768)
+            cols = [lhs[a, :][:, None] for a in range(7)]  # (128,1) each
 
-        @pl.when(will_prefetch)
-        def _():
-            dma(1 - slot, jnp.minimum(j + 1, v_max - 1)).start()
+            def fam(f):
+                return comp[:, f * TILE:(f + 1) * TILE]
 
-        dma(slot, j).wait()
-        blk = scratch[slot]                     # (16, 128): fields x K tris
+            def dot_o(f):
+                p = fam(f)
+                return (cols[0] * p[0:1, :] + cols[1] * p[1:2, :]
+                        + cols[2] * p[2:3, :] + p[3:4, :])
 
-        # Rays along SUBLANES (columns) x tris along LANES (rows of blk).
-        nx, ny, nz = blk[0, :][None, :], blk[1, :][None, :], blk[2, :][None, :]
-        r1x, r1y, r1z = blk[3, :][None, :], blk[4, :][None, :], blk[5, :][None, :]
-        r2x, r2y, r2z = blk[6, :][None, :], blk[7, :][None, :], blk[8, :][None, :]
-        na, r1a, r2a = blk[9, :][None, :], blk[10, :][None, :], blk[11, :][None, :]
-        tri_ok = blk[12, :][None, :] > 0.5
+            def dot_d(f):
+                p = fam(f)
+                return (cols[4] * p[4:5, :] + cols[5] * p[5:6, :]
+                        + cols[6] * p[6:7, :])
 
-        ox_c, oy_c, oz_c = rayc(0), rayc(1), rayc(2)
-        dx_c, dy_c, dz_c = rayc(3), rayc(4), rayc(5)
+            s0, s1 = dot_o(0), dot_d(1)
+            s2, s3 = dot_o(2), dot_d(3)
+            s4, s5 = dot_o(4), dot_d(5)
+        else:
+            s = jax.lax.dot_general(
+                lhs, composite(g),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=F32,
+            )                                    # (128 rays, 6*128)
+            s0, s1, s2, s3, s4, s5 = [
+                s[:, f * TILE:(f + 1) * TILE] for f in range(6)]
 
-        n_o = ox_c * nx + oy_c * ny + oz_c * nz          # (128, 128)
-        n_d = dx_c * nx + dy_c * ny + dz_c * nz
-        den_ok = jnp.abs(n_d) > 1e-12
-        t = jnp.where(den_ok, (na - n_o) / jnp.where(den_ok, n_d, 1.0), BIG)
-        u = (ox_c * r1x + oy_c * r1y + oz_c * r1z
-             + t * (dx_c * r1x + dy_c * r1y + dz_c * r1z) - r1a)
-        v = (ox_c * r2x + oy_c * r2y + oz_c * r2z
-             + t * (dx_c * r2x + dy_c * r2y + dz_c * r2z) - r2a)
-        ok = (den_ok & tri_ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-              & (t >= tmin_c))
+        den_ok = jnp.abs(s1) > EPS
+        t = jnp.where(den_ok, -s0 / jnp.where(den_ok, s1, 1.0), BIG)
+        u = s2 + t * s3
+        v = s4 + t * s5
+        limit = jnp.minimum(best_t, tmax_c)
+        ok = (den_ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+              & (t >= tmin_c) & (t <= limit))
 
         if mode == "closest":
-            tm = jnp.where(ok & (t <= jnp.minimum(best_t, tmax_c)), t, BIG)
-            col_best = jnp.min(tm, axis=1, keepdims=True)    # (128, 1)
-            better = col_best < best_t
-            # Lane argmin with lowest-lane tie-break; the winner's (u, v)
-            # are recomputed OUTSIDE the kernel from its triangle id (same
-            # differentiable recompute the surface pass does anyway).
-            lane = jax.lax.broadcasted_iota(jnp.int32, (TILE, K), 1)
-            big_lane = jnp.where(tm == col_best, lane, K)
-            kmin = jnp.min(big_lane, axis=1, keepdims=True)  # (128, 1)
-            cid = cand_at(j)
-            best_t = jnp.where(better, col_best, best_t)
-            best_k = jnp.where(better, cid * K + kmin, best_k)
+            # Pack (t | lane) into one int so ONE lane-reduction finds both
+            # the best t and its lane (bitcasts of non-negative f32 are
+            # order-preserving; clearing the low 7 bits rounds t down by
+            # <= 2^-16 relative — far below f32 hit-point noise).
+            # Misses use +inf: its bits (0x7F800000 | lane) order above any
+            # finite t-key, so a no-hit visit can never look "better".
+            tm = jnp.where(ok, t, jnp.float32(jnp.inf))
+            lane_t = jax.lax.broadcasted_iota(I32, (TILE, TILE), 1)
+            tkey = (jax.lax.bitcast_convert_type(tm, I32) & ~127) | lane_t
+            kbest = jnp.min(tkey, axis=1, keepdims=True)      # (128, 1)
+            best_bits = jax.lax.bitcast_convert_type(best_t, I32)
+            better = kbest < best_bits
+            kmin = kbest & 127
+            # Second reduction extracts the winner's (u, v), quantized to
+            # 12 bits each in one f32-exact integer (<= 2^24).
+            uvq = (jnp.clip(u * 4095.0, 0.0, 4095.0).astype(I32) * 4096
+                   + jnp.clip(v * 4095.0, 0.0, 4095.0).astype(I32))
+            uv_win = jnp.max(jnp.where(lane_t == kmin, uvq, -1),
+                             axis=1, keepdims=True)           # (128, 1)
+            # Composite lane -> sorted-triangle id: cluster = packed slot
+            # kmin // K (its id from this pack's keys), tri = kmin % K.
+            if PACK == 1:
+                tri = (keys[0] & id_mask) * K + kmin
+            else:
+                slot = jax.lax.shift_right_logical(kmin, K.bit_length() - 1)
+                cid_sel = keys[PACK - 1] & id_mask
+                for uu in range(PACK - 2, -1, -1):
+                    cid_sel = jnp.where(slot == uu, keys[uu] & id_mask,
+                                        cid_sel)
+                tri = cid_sel * K + jax.lax.rem(kmin, K)
+            best_t = jnp.where(
+                better,
+                jax.lax.bitcast_convert_type(kbest & ~127, F32), best_t)
+            best_k = jnp.where(better, tri, best_k)
+            uv_c = jnp.where(better, uv_win, uv_c)
         else:
-            hit_any = jnp.any(ok & (t < tmax_c), axis=1, keepdims=True)
-            # Collapse best_t so the stop rule exits once all rays resolve
-            # (occluded rays carry -BIG; the 'occluded' flag is t < 0).
+            hit_any = jnp.any(ok, axis=1, keepdims=True)
+            # Occluded rays collapse to -BIG so the stop rule retires them.
             best_t = jnp.where(hit_any, -BIG, best_t)
 
-        return j + 1, will_prefetch, best_t, best_k
+        return (tuple(nxt), best_t, best_k, uv_c, visits + 1)
 
+    if _ABLATE == "nopop":
+        first = [jnp.int32(INVALID)] * PACK
+    else:
+        first = pop_group()
+    if _ABLATE != "nodma":
+        for u in range(PACK):
+            dma(0, u, first[u]).start()
     init = (
-        jnp.int32(0),
-        jnp.bool_(False),
+        tuple(first),
         jnp.full((TILE, 1), BIG, F32),
-        jnp.full((TILE, 1), -1, jnp.int32),
+        jnp.full((TILE, 1), -1, I32),
+        jnp.zeros((TILE, 1), I32),
+        jnp.int32(0),
     )
-    j_end, prefetched_end, best_t, best_k = jax.lax.while_loop(
+    keys_end, best_t, best_k, uv_c, visits = jax.lax.while_loop(
         cond, body, init)
 
-    # A speculative prefetch for j_end may still be in flight: retire it.
-    @pl.when(prefetched_end)
-    def _():
-        dma(jax.lax.rem(j_end, 2), jnp.minimum(j_end, v_max - 1)).wait()
+    # The last started pack (group visits%2) was never waited on: retire it.
+    if _ABLATE != "nodma":
+        for u in range(PACK):
+            dma(jax.lax.rem(visits, 2), u, keys_end[u]).wait()
 
     if mode == "closest":
-        outf_ref[0, 0, :] = best_t[:, 0]
-        outi_ref[0, 0, :] = best_k[:, 0]
+        outf_ref[b, 0, :] = best_t[:, 0]
+        outf_ref[b, 1, :] = (uv_c[:, 0] >> 12).astype(F32) * (1.0 / 4095.0)
+        outf_ref[b, 2, :] = (uv_c[:, 0] & 4095).astype(F32) * (1.0 / 4095.0)
     else:
-        outf_ref[0, 0, :] = jnp.where(best_t[:, 0] < 0.0, 1.0, 0.0)
-        outi_ref[0, 0, :] = best_k[:, 0]
+        outf_ref[b, 0, :] = jnp.where(best_t[:, 0] < 0.0, 1.0, 0.0)
+        outf_ref[b, 1, :] = jnp.zeros((TILE,), F32)
+        outf_ref[b, 2, :] = jnp.zeros((TILE,), F32)
+    outi_ref[b, 0, :] = best_k[:, 0]
+    outi_ref[b, 1, :] = jnp.full((TILE,), 1, I32) * visits
+    return jnp.int32(0)
+
+
+def trace_blocks(gpu: GPUScene, cfg: RenderConfig, ray_blocks, mode):
+    """Trace packed (Ts, 8, 128) ray blocks.
+
+    Returns (outf, outi): outf rows [t | u | v] ('closest') or
+    [occluded-flag | - | -] ('occluded'); outi rows [sorted-tri id or -1 |
+    visit count].
+    """
+    ts = ray_blocks.shape[0]
+    if gpu.pallas_panels is not None and gpu.pallas_panels.shape[1] == PROWS:
+        panels = gpu.pallas_panels
+        cl_min, cl_max = gpu.pallas_cl_min, gpu.pallas_cl_max
+    else:
+        panels, cl_min, cl_max = pack_clusters(gpu)
+    c = panels.shape[0]
+    # Pad the tile count to a BT multiple; pad tiles carry t_min=+BIG /
+    # t_max=-BIG so the cull yields no candidates and visits exit at once.
+    pad = (-ts) % BT
+    if pad:
+        pad_blk = jnp.broadcast_to(ray_blocks[:1], (pad, 8, TILE))
+        pad_blk = pad_blk.at[:, 6, :].set(BIG_T)
+        pad_blk = pad_blk.at[:, 7, :].set(-BIG_T)
+        ray_blocks = jnp.concatenate([ray_blocks, pad_blk])
+    tsp = ts + pad
+    keys, id_mask = cull_keys(ray_blocks, cl_min, cl_max)
+    cbn = keys.shape[1]
+
+    kernel = functools.partial(_trace_kernel, cbn=cbn, c=c, mode=mode,
+                               id_mask=id_mask)
+    outf, outi = pl.pallas_call(
+        kernel,
+        grid=(tsp // BT,),
+        in_specs=[
+            pl.BlockSpec((BT, 8, TILE), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BT, cbn, 8, 128), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # panels stay in HBM
+        ],
+        out_specs=[
+            pl.BlockSpec((BT, 8, TILE), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BT, 8, TILE), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((tsp, 8, TILE), F32),
+            jax.ShapeDtypeStruct((tsp, 8, TILE), I32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((cbn, 8, 128), I32),
+            pltpu.VMEM((2, PACK, PROWS, 128), F32),
+            pltpu.SemaphoreType.DMA((2, PACK)),
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(ray_blocks, keys, panels)
+    return outf[:ts], outi[:ts]
 
 
 def _run(gpu: GPUScene, cfg: RenderConfig, origins, dirs, t_min, t_max, mode):
@@ -231,80 +539,20 @@ def _run(gpu: GPUScene, cfg: RenderConfig, origins, dirs, t_min, t_max, mode):
     t_min = jnp.broadcast_to(jnp.asarray(t_min, F32), (r,))
     t_max = jnp.broadcast_to(jnp.asarray(t_max, F32), (r,)).astype(F32)
     rays, r_orig, ts = _pack_rays(origins, dirs, t_min, t_max)
-
-    clusters = pack_clusters(gpu)
-    c = clusters.shape[0]
-    v_max = min(cfg.max_cluster_visits, c)
-
-    # Phase A (XLA): conservative per-tile candidate list, entry-sorted.
-    wd = build_wide(gpu, K)
-    o_t = jnp.stack([rays[:, 0], rays[:, 1], rays[:, 2]], axis=-1)
-    d_t = jnp.stack([rays[:, 3], rays[:, 4], rays[:, 5]], axis=-1)
-    entries = _cluster_entries(o_t, d_t, wd, rays[:, 6], rays[:, 7])
-    order = jnp.argsort(entries, axis=1).astype(jnp.int32)
-    entry_sorted = jnp.take_along_axis(entries, order, axis=1)
-    # Candidate lists live in SMEM; blocks span 8 tile-rows (sublane rule),
-    # so pad the tile dimension to a multiple of 8.
-    ts8 = -(-ts // 8) * 8
-    cand = jnp.zeros((ts8, v_max), jnp.int32)
-    cand = cand.at[:ts].set(order[:, :v_max])
-    entry = jnp.full((ts8, v_max), BIG_T, F32)
-    entry = entry.at[:ts].set(entry_sorted[:, :v_max])
-
-    kernel = functools.partial(_visit_kernel, v_max=v_max, mode=mode)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=0,
-        grid=(ts,),
-        in_specs=[
-            pl.BlockSpec((8, v_max), lambda i: (i // 8, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((8, v_max), lambda i: (i // 8, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 8, TILE), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),     # clusters stay in HBM
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 8, TILE), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, TILE), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((2, ROWS, K), F32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
-    outf, outi = pl.pallas_call(
-        kernel,
-        out_shape=[
-            jax.ShapeDtypeStruct((ts, 8, TILE), F32),
-            jax.ShapeDtypeStruct((ts, 8, TILE), jnp.int32),
-        ],
-        grid_spec=grid_spec,
-        interpret=jax.default_backend() != "tpu",
-    )(cand, entry, rays, clusters)
-
+    outf, outi = trace_blocks(gpu, cfg, rays, mode)
     tb = outf[:, 0, :].reshape(-1)[:r_orig]
     kb = outi[:, 0, :].reshape(-1)[:r_orig]
-    if mode == "closest":
-        # One exact Moller-Trumbore on each ray's winning triangle gives
-        # (u, v) — cheaper than extracting them per visit in the kernel.
-        sid = jnp.clip(kb, 0, gpu.bvh_tri_v0.shape[0] - 1)
-        t_, ub, vb, ok_ = intersect.ray_triangle(
-            origins[:r_orig], dirs[:r_orig], gpu.bvh_tri_v0[sid],
-            gpu.bvh_tri_v1[sid], gpu.bvh_tri_v2[sid])
-        ub = jnp.where(kb >= 0, ub, 0.0)
-        vb = jnp.where(kb >= 0, vb, 0.0)
-    else:
-        ub = vb = jnp.zeros_like(tb)
+    ub = outf[:, 1, :].reshape(-1)[:r_orig]
+    vb = outf[:, 2, :].reshape(-1)[:r_orig]
     return tb, kb, ub, vb
 
 
 def pallas_closest(gpu, cfg, origins, dirs, t_min, t_max) -> HitRecord:
     tb, kb, ub, vb = _run(gpu, cfg, origins, dirs, t_min, t_max, "closest")
     orig = jnp.where(kb >= 0, gpu.bvh_tri_id[jnp.clip(kb, 0, None)], -1)
-    return HitRecord(t=tb, prim_id=orig.astype(jnp.int32), u=ub, v=vb)
+    ub = jnp.where(kb >= 0, ub, 0.0)
+    vb = jnp.where(kb >= 0, vb, 0.0)
+    return HitRecord(t=tb, prim_id=orig.astype(I32), u=ub, v=vb)
 
 
 def pallas_occluded(gpu, cfg, origins, dirs, t_min, t_max) -> jnp.ndarray:

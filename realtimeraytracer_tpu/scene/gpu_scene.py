@@ -81,6 +81,13 @@ class GPUScene(NamedTuple):
     bvh_tri_v2: jnp.ndarray
     bvh_tri_id: jnp.ndarray     # (T,) i32 sorted -> original triangle id
 
+    # --- precompiled traversal-kernel panels (render/pallas_backend.py;
+    # scene-static, built once at compile so the per-frame trace doesn't
+    # pay the ~20 ms panel packing) --------------------------------------
+    pallas_panels: jnp.ndarray | None = None   # (C, PROWS, 128) f32
+    pallas_cl_min: jnp.ndarray | None = None   # (C, 3) f32
+    pallas_cl_max: jnp.ndarray | None = None   # (C, 3) f32
+
     @property
     def has_bvh(self) -> bool:
         return self.bvh_node_min.shape[0] > 1

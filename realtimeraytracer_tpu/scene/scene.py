@@ -239,6 +239,15 @@ class Scene:
                 bvh_tri_v0=bvh.tri_v0, bvh_tri_v1=bvh.tri_v1,
                 bvh_tri_v2=bvh.tri_v2, bvh_tri_id=bvh.tri_id,
             )
+            # Precompile the traversal kernel's coefficient panels (host
+            # numpy, once) so per-frame traces skip the ~20 ms packing.
+            from realtimeraytracer_tpu.render.pallas_backend import (
+                pack_clusters_np)
+
+            panels, p_lo, p_hi = pack_clusters_np(
+                bvh.tri_v0, bvh.tri_v1, bvh.tri_v2)
+            bvh_fields.update(pallas_panels=panels, pallas_cl_min=p_lo,
+                              pallas_cl_max=p_hi)
         else:
             z3 = np.zeros((1, 3), np.float32)
             z1 = np.zeros(1, np.int32)
