@@ -43,7 +43,10 @@ class Application:
                  config: RenderConfig | None = None,
                  scene: Scene | None = None):
         self.title = title
-        self.config = (config or RenderConfig()).replace(width=width, height=height)
+        # Interactive default: the one-gather LTC fetch (cfg.fast_lut) —
+        # ~1e-3 from exact bilinear, far below real-time perceptibility.
+        self.config = (config or RenderConfig(fast_lut=True)).replace(
+            width=width, height=height)
         if scene is None:
             from realtimeraytracer_tpu import scenes
 

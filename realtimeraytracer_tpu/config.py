@@ -45,6 +45,13 @@ class RenderConfig:
     tonemap: str = "aces"
     gamma: float = 2.2
 
+    # LTC lookup mode: True fetches from a 4x-presampled table with ONE
+    # gather (TPU gathers dominate shading; error ~1e-3, below the LTC
+    # fit's own error); False is exact bilinear (the reference's sampler,
+    # and the golden-test contract vs the CPU reference renderer).
+    # Application/interactive paths enable it.
+    fast_lut: bool = False
+
     # Light-sampling pdf fudge factor (reference: raygen.rgen:193 "area*0.7").
     light_pdf_scale: float = 0.7
     # Flat radiance multipliers the reference bakes into raygen.rgen

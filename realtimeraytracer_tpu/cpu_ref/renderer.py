@@ -134,6 +134,8 @@ def occluded(o, d, verts, faces, sph_c, sph_r, t_min, t_max):
 
 def _hit_alpha_np(g, prim, bu, bv):
     """Opacity of each hit (1.0 when no opacity map / sphere / miss)."""
+    if len(g["tex_atlas"]) == 0:
+        return np.ones(len(prim), np.float32)
     faces = g["faces"]
     nt = len(faces)
     is_tri = (prim >= 0) & (prim < nt)

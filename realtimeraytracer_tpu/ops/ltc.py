@@ -34,17 +34,47 @@ def ltc_lut_coords(roughness: jnp.ndarray, ndotv: jnp.ndarray):
     return u, v
 
 
+def upsample4(tbl: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear 4x upsample of a (64, 64, C) LUT -> (256, 256, C).
+
+    TPU gathers cost ~10 ms per 2M rays and bilinear needs 4 of them;
+    a nearest fetch from a 4x-presampled table needs ONE, with error
+    bounded by the fit's curvature over a quarter texel (~1e-3 — below
+    the LTC fit error itself).  Static per scene; XLA hoists it.
+    """
+    import jax
+
+    return jax.image.resize(tbl, (256, 256, tbl.shape[-1]), method="linear")
+
+
+def sample_nearest(image: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
+    """Clamped nearest-texel fetch of (H, W, C) at normalized (u, v)."""
+    h, w = image.shape[0], image.shape[1]
+    xi = jnp.clip(jnp.floor(u * w).astype(jnp.int32), 0, w - 1)
+    yi = jnp.clip(jnp.floor(v * h).astype(jnp.int32), 0, h - 1)
+    return image[yi, xi]
+
+
 def fetch_ltc_params(ltc1: jnp.ndarray, ltc2: jnp.ndarray,
-                     roughness: jnp.ndarray, ndotv: jnp.ndarray):
-    """Sample both LUTs; returns (minv (...,3,3), t2 (...,4)).
+                     roughness: jnp.ndarray, ndotv: jnp.ndarray,
+                     fast: bool = False):
+    """Sample both LUTs; returns (minv scalars, t2 (...,4)).
 
     Minv = [[a,0,b],[0,1,0],[c,0,d]] from ltc1 = (a,b,c,d)
     (raygen.rgen:148-157; note GLSL mat3 columns == our rows transposed —
     the GLSL constructor builds columns, so Minv[row][col] maps as below).
+
+    Both tables are fetched through ONE packed (64, 64, 8) gather per
+    bilinear corner (wide-row gathers cost the same as narrow ones on
+    TPU); fast=True swaps in the one-gather upsampled-nearest path.
     """
     u, v = ltc_lut_coords(roughness, ndotv)
-    t1 = sample_bilinear(ltc1, u, v, wrap=False)
-    t2 = sample_bilinear(ltc2, u, v, wrap=False)
+    both = jnp.concatenate([ltc1, ltc2], axis=-1)      # (64, 64, 8)
+    if fast:
+        t = sample_nearest(upsample4(both), u, v)
+    else:
+        t = sample_bilinear(both, u, v, wrap=False)
+    t1, t2 = t[..., 0:4], t[..., 4:8]
     # Minv is sparse — GLSL mat3(vec3(a,0,b), vec3(0,1,0), vec3(c,0,d)),
     # i.e. rows [[a,0,c],[0,1,0],[b,0,d]].  Return the 4 scalars instead of
     # materializing (R,3,3) tensors: tiny-trailing-dim tensors get
@@ -78,6 +108,7 @@ def ltc_evaluate(
     light_normal: jnp.ndarray,  # (..., 3) unit geometric normal of the tri
     two_sided: jnp.ndarray,   # (...,) bool
     ltc2: jnp.ndarray,        # (64, 64, 4) for the horizon-clip form factor
+    fast: bool = False,       # one-gather upsampled-nearest LUT fetch
 ) -> jnp.ndarray:
     """Scalar polygon irradiance (LTC.glsl:16-69). Broadcasts batch dims.
 
@@ -126,7 +157,10 @@ def ltc_evaluate(
 
     u = (z * 0.5 + 0.5) * LUT_SCALE + LUT_BIAS
     v = length * LUT_SCALE + LUT_BIAS
-    scale = sample_bilinear(ltc2, u, v, wrap=False)[..., 3]
+    if fast:
+        scale = sample_nearest(upsample4(ltc2), u, v)[..., 3]
+    else:
+        scale = sample_bilinear(ltc2, u, v, wrap=False)[..., 3]
 
     total = length * scale
     total = jnp.where(jnp.logical_and(~behind, ~two_sided), 0.0, total)

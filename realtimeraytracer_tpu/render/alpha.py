@@ -44,6 +44,8 @@ def hit_alpha(gpu: GPUScene, hit: HitRecord) -> jnp.ndarray:
 
 def wrap_backend_with_alpha(backend: TraceBackend, gpu: GPUScene,
                             cfg: RenderConfig) -> TraceBackend:
+    if gpu.tex_atlas.shape[0] == 0:
+        return backend       # no textures -> no opacity maps -> no-op
     threshold = cfg.alpha_threshold
     eps = 1e-4
 

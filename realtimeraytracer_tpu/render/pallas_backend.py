@@ -82,7 +82,11 @@ def _id_bits(total_clusters: int) -> int:
 
 
 def _pack_rays(origins, dirs, t_min, t_max):
-    """(R,3)x2 + (R,)x2 -> (Ts, 8, 128) ray blocks (+ true ray count)."""
+    """(R,3)x2 + (R,)x2 -> (Ts, 8, 128) ray blocks (+ true ray count).
+
+    Two big transposes instead of eight stride-3 slices — XLA lowers the
+    former to efficient relayouts, the latter to strided gathers.
+    """
     r = origins.shape[0]
     ts = -(-r // TILE)
     pad = ts * TILE - r
@@ -91,16 +95,9 @@ def _pack_rays(origins, dirs, t_min, t_max):
         dirs = jnp.concatenate([dirs, dirs[:1].repeat(pad, 0)])
         t_min = jnp.concatenate([t_min, jnp.full((pad,), BIG_T, F32)])
         t_max = jnp.concatenate([t_max, jnp.full((pad,), -BIG_T, F32)])
-    blk = jnp.stack(
-        [
-            origins[:, 0].reshape(ts, TILE), origins[:, 1].reshape(ts, TILE),
-            origins[:, 2].reshape(ts, TILE),
-            dirs[:, 0].reshape(ts, TILE), dirs[:, 1].reshape(ts, TILE),
-            dirs[:, 2].reshape(ts, TILE),
-            t_min.reshape(ts, TILE), t_max.reshape(ts, TILE),
-        ],
-        axis=1,
-    )
+    rows = jnp.concatenate(
+        [origins.T, dirs.T, t_min[None, :], t_max[None, :]], axis=0)  # (8, R)
+    blk = rows.reshape(8, ts, TILE).transpose(1, 0, 2)
     return blk, r, ts
 
 
@@ -549,7 +546,9 @@ def _run(gpu: GPUScene, cfg: RenderConfig, origins, dirs, t_min, t_max, mode):
 
 def pallas_closest(gpu, cfg, origins, dirs, t_min, t_max) -> HitRecord:
     tb, kb, ub, vb = _run(gpu, cfg, origins, dirs, t_min, t_max, "closest")
-    orig = jnp.where(kb >= 0, gpu.bvh_tri_id[jnp.clip(kb, 0, None)], -1)
+    # scene.compile permutes the face table into BVH order (bvh_tri_id is
+    # the identity), so the sorted triangle id IS the face id — no gather.
+    orig = jnp.where(kb >= 0, kb, -1)
     ub = jnp.where(kb >= 0, ub, 0.0)
     vb = jnp.where(kb >= 0, vb, 0.0)
     return HitRecord(t=tb, prim_id=orig.astype(I32), u=ub, v=vb)

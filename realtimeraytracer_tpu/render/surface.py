@@ -46,38 +46,43 @@ def resolve_surface(gpu: GPUScene, hit: HitRecord,
     missed = hit.prim_id < 0
     is_tri = (hit.prim_id >= 0) & (hit.prim_id < num_tris)
 
-    # --- triangle attributes (gather with clamped ids; masked later) -----
+    # --- triangle attributes ----------------------------------------------
+    # TPU gathers cost ~10-40 ms per 2M rays regardless of row width, so
+    # all per-face data is packed into ONE wide row and fetched with a
+    # single gather.  The row is assembled in-graph from gpu.vertices /
+    # normals / uvs (F-sized gathers — 20x cheaper than R-sized ones), so
+    # gradients still flow to the scene arrays.
     tid = jnp.clip(hit.prim_id, 0, max(num_tris - 1, 0))
-    f = gpu.faces[tid]                       # (R, 3)
+    f0, f1, f2 = gpu.faces[:, 0], gpu.faces[:, 1], gpu.faces[:, 2]
+    face_row = jnp.concatenate(
+        [
+            gpu.vertices[f0], gpu.vertices[f1], gpu.vertices[f2],
+            gpu.normals[f0], gpu.normals[f1], gpu.normals[f2],
+            gpu.uvs[f0], gpu.uvs[f1], gpu.uvs[f2],
+            gpu.face_obj[:, None].astype(jnp.float32),
+        ],
+        axis=1,
+    )                                        # (F, 25)
+    g = face_row[tid]                        # (R, 25) — the one big gather
+    v0, v1, v2 = g[..., 0:3], g[..., 3:6], g[..., 6:9]
     # Recompute (u, v) differentiably from the SELECTED triangle: the
     # discrete hit choice stays non-differentiable (straight-through), but
     # barycentrics/positions carry exact gradients to gpu.vertices even when
     # the traversal backend intersected constant BVH copies (SURVEY.md §7:
     # "backward must reuse forward hit records ... differentiate only the
     # continuous quantities").
-    rt_t, rt_u, rt_v, rt_ok = ray_triangle(
-        origins, dirs, gpu.vertices[f[..., 0]], gpu.vertices[f[..., 1]],
-        gpu.vertices[f[..., 2]],
-    )
+    rt_t, rt_u, rt_v, rt_ok = ray_triangle(origins, dirs, v0, v1, v2)
     hit_u = jnp.where(rt_ok, rt_u, hit.u)
     hit_v = jnp.where(rt_ok, rt_v, hit.v)
     w0 = (1.0 - hit_u - hit_v)[..., None]
     w1 = hit_u[..., None]
     w2 = hit_v[..., None]
-    tri_pos = (
-        gpu.vertices[f[..., 0]] * w0
-        + gpu.vertices[f[..., 1]] * w1
-        + gpu.vertices[f[..., 2]] * w2
-    )
+    tri_pos = v0 * w0 + v1 * w1 + v2 * w2
     tri_nrm = normalize(
-        gpu.normals[f[..., 0]] * w0
-        + gpu.normals[f[..., 1]] * w1
-        + gpu.normals[f[..., 2]] * w2
-    )
+        g[..., 9:12] * w0 + g[..., 12:15] * w1 + g[..., 15:18] * w2)
     tri_uv = (
-        gpu.uvs[f[..., 0]] * w0 + gpu.uvs[f[..., 1]] * w1 + gpu.uvs[f[..., 2]] * w2
-    )
-    tri_obj = gpu.face_obj[tid]
+        g[..., 18:20] * w0 + g[..., 20:22] * w1 + g[..., 22:24] * w2)
+    tri_obj = g[..., 24].astype(jnp.int32)   # exact for < 2^24 objects
 
     # --- sphere attributes ------------------------------------------------
     if num_spheres:
@@ -97,7 +102,26 @@ def resolve_surface(gpu: GPUScene, hit: HitRecord,
         position, normal, uv, obj = tri_pos, tri_nrm, tri_uv, tri_obj
 
     obj = jnp.where(missed, 0, obj)
-    hit_light = (~missed) & (gpu.obj_is_light[obj] > 0)
+
+    # --- material fetch (closesthit.rchit:79-106) ------------------------
+    # Same one-wide-gather discipline: the object table is packed to a
+    # (O, 10) row and fetched once (flags/texture ids ride as exact small
+    # floats).
+    mat_row = jnp.concatenate(
+        [
+            gpu.obj_color,
+            gpu.obj_specular[:, None], gpu.obj_metallic[:, None],
+            gpu.obj_is_light[:, None].astype(jnp.float32),
+            gpu.obj_tex.astype(jnp.float32),
+        ],
+        axis=1,
+    )                                                   # (O, 10)
+    m = mat_row[obj]                                    # (R, 10)
+    color = m[..., 0:3]
+    spec = m[..., 3]
+    metal = m[..., 4]
+    hit_light = (~missed) & (m[..., 5] > 0)
+    tex = m[..., 6:10].astype(jnp.int32)
     valid = (~missed) & (~hit_light)
 
     # Sanitize non-hits: a missed ray's sphere-path position is
@@ -106,32 +130,24 @@ def resolve_surface(gpu: GPUScene, hit: HitRecord,
     position = jnp.where(valid[..., None], position, 0.0)
     normal = jnp.where(valid[..., None], normal, 0.0)
 
-    # --- material fetch (closesthit.rchit:79-106) ------------------------
-    tex = gpu.obj_tex[obj]                              # (R, 4)
-    color = gpu.obj_color[obj]
-    spec = gpu.obj_specular[obj]
-    metal = gpu.obj_metallic[obj]
-
-    has_any_tex = int(gpu.tex_atlas.shape[0]) > 1 or True
-    # Texture overrides only where a map index is >= 0.
-    texel = sample_atlas(gpu.tex_atlas, gpu.tex_size, tex[..., 0],
-                         uv[..., 0], uv[..., 1])
-    color = jnp.where((tex[..., 0] >= 0)[..., None], texel[..., :3], color)
-    spec_texel = sample_atlas(gpu.tex_atlas, gpu.tex_size, tex[..., 1],
-                              uv[..., 0], uv[..., 1])[..., 0]
-    spec = jnp.where(tex[..., 1] >= 0, spec_texel, spec)
-    metal_texel = sample_atlas(gpu.tex_atlas, gpu.tex_size, tex[..., 2],
-                               uv[..., 0], uv[..., 1])[..., 0]
-    metal = jnp.where(tex[..., 2] >= 0, metal_texel, metal)
+    if gpu.tex_atlas.shape[0] > 0:
+        # Texture overrides only where a map index is >= 0.
+        texel = sample_atlas(gpu.tex_atlas, gpu.tex_size, tex[..., 0],
+                             uv[..., 0], uv[..., 1])
+        color = jnp.where((tex[..., 0] >= 0)[..., None], texel[..., :3], color)
+        spec_texel = sample_atlas(gpu.tex_atlas, gpu.tex_size, tex[..., 1],
+                                  uv[..., 0], uv[..., 1])[..., 0]
+        spec = jnp.where(tex[..., 1] >= 0, spec_texel, spec)
+        metal_texel = sample_atlas(gpu.tex_atlas, gpu.tex_size, tex[..., 2],
+                                   uv[..., 0], uv[..., 1])[..., 0]
+        metal = jnp.where(tex[..., 2] >= 0, metal_texel, metal)
 
     albedo = srgb_to_linear(color)
     roughness = 1.0 - spec
-
-    light_color = gpu.obj_color[obj]
 
     return Surface(
         valid=valid, hit_light=hit_light, missed=missed,
         position=position, normal=normal, uv=uv,
         albedo=albedo, roughness=roughness, metallic=metal,
-        light_color=light_color, obj_id=obj,
+        light_color=color, obj_id=obj,
     )

@@ -232,12 +232,20 @@ class Scene:
             bvh = native_build_bvh(tv0, tv1, tv2, bvh_leaf_size)
             if bvh is None:
                 bvh = build_bvh(tv0, tv1, tv2, leaf_size=bvh_leaf_size)
+            # Permute the face table into BVH (Morton/SAH) order so the
+            # traversal backends' sorted-id IS the face id — the per-ray
+            # sorted->original gather (~40 ms per 2M-ray trace on a v5e)
+            # disappears from every trace call.
+            perm = np.asarray(bvh.tri_id, np.int64)
+            faces_arr = faces_arr[perm]
+            face_obj_arr = face_obj_arr[perm]
             bvh_fields = dict(
                 bvh_node_min=bvh.node_min, bvh_node_max=bvh.node_max,
                 bvh_node_skip=bvh.node_skip, bvh_node_first=bvh.node_first,
                 bvh_node_count=bvh.node_count,
                 bvh_tri_v0=bvh.tri_v0, bvh_tri_v1=bvh.tri_v1,
-                bvh_tri_v2=bvh.tri_v2, bvh_tri_id=bvh.tri_id,
+                bvh_tri_v2=bvh.tri_v2,
+                bvh_tri_id=np.arange(len(perm), dtype=np.int32),
             )
             # Precompile the traversal kernel's coefficient panels (host
             # numpy, once) so per-frame traces skip the ~20 ms packing.
@@ -292,7 +300,10 @@ def _pack_textures(textures: Sequence[np.ndarray]) -> tuple[np.ndarray, np.ndarr
     up to a multiple of 8; per-texture true sizes ride along for wrap math.
     """
     if not textures:
-        return np.zeros((1, 8, 8, 4), np.float32), np.ones((1, 2), np.int32) * 8
+        # Zero-texture sentinel: shape[0] == 0 lets consumers skip texture
+        # sampling STATICALLY (atlas gathers cost ~10 ms each per 2M rays
+        # on TPU even when every texture id is -1).
+        return np.zeros((0, 8, 8, 4), np.float32), np.zeros((0, 2), np.int32)
     s = max(max(t.shape[0], t.shape[1]) for t in textures)
     s = max(8, -(-s // 8) * 8)
     atlas = np.zeros((len(textures), s, s, 4), np.float32)
