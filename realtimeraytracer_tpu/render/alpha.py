@@ -26,16 +26,27 @@ from realtimeraytracer_tpu.render.backends import TraceBackend
 from realtimeraytracer_tpu.scene.gpu_scene import GPUScene
 
 
-def hit_alpha(gpu: GPUScene, hit: HitRecord) -> jnp.ndarray:
+def hit_alpha(gpu: GPUScene, hit: HitRecord, origins, dirs) -> jnp.ndarray:
     """Opacity of each hit (1.0 where the object has no opacity map or the
-    hit is a sphere/miss). Mirrors opacity.rahit's uv interpolation."""
+    hit is a sphere/miss). Mirrors opacity.rahit's uv interpolation.
+
+    Barycentrics are recomputed from the winning triangle (the pallas
+    backend defers u/v out of its visit loop); hit.u/hit.v are only the
+    fallback for degenerate re-tests."""
+    from realtimeraytracer_tpu.ops.intersect import ray_triangle
+
     num_tris = gpu.faces.shape[0]
     is_tri = (hit.prim_id >= 0) & (hit.prim_id < num_tris)
     tid = jnp.clip(hit.prim_id, 0, max(num_tris - 1, 0))
     f = gpu.faces[tid]
-    w0 = (1.0 - hit.u - hit.v)[..., None]
-    uv = (gpu.uvs[f[..., 0]] * w0 + gpu.uvs[f[..., 1]] * hit.u[..., None]
-          + gpu.uvs[f[..., 2]] * hit.v[..., None])
+    _, rt_u, rt_v, rt_ok = ray_triangle(
+        origins, dirs, gpu.vertices[f[..., 0]], gpu.vertices[f[..., 1]],
+        gpu.vertices[f[..., 2]])
+    hu = jnp.where(rt_ok, rt_u, hit.u)
+    hv = jnp.where(rt_ok, rt_v, hit.v)
+    w0 = (1.0 - hu - hv)[..., None]
+    uv = (gpu.uvs[f[..., 0]] * w0 + gpu.uvs[f[..., 1]] * hu[..., None]
+          + gpu.uvs[f[..., 2]] * hv[..., None])
     obj = gpu.face_obj[tid]
     tex = gpu.obj_tex[obj, 3]
     a = sample_atlas(gpu.tex_atlas, gpu.tex_size, tex, uv[..., 0], uv[..., 1])[..., 0]
@@ -58,7 +69,7 @@ def wrap_backend_with_alpha(backend: TraceBackend, gpu: GPUScene,
 
         def round_fn(_, state):
             hit, t_lo = state
-            a = hit_alpha(gpu, hit)
+            a = hit_alpha(gpu, hit, origins, dirs)
             rejected = hit.hit & (a < threshold)
             t_lo = jnp.where(rejected, hit.t + eps, t_lo)
             re = backend.closest(origins, dirs, t_lo, t_max)
@@ -84,7 +95,7 @@ def wrap_backend_with_alpha(backend: TraceBackend, gpu: GPUScene,
 
         def round_fn(_, state):
             hit, occ, t_lo = state
-            a = hit_alpha(gpu, hit)
+            a = hit_alpha(gpu, hit, origins, dirs)
             in_range = hit.hit & (hit.t < t_max_v)
             occ = occ | (in_range & (a >= threshold))
             transparent = in_range & (a < threshold) & ~occ
@@ -101,7 +112,7 @@ def wrap_backend_with_alpha(backend: TraceBackend, gpu: GPUScene,
         hit, occ, _ = jax.lax.fori_loop(
             0, cfg.alpha_rounds + 1, round_fn, (hit0, occ0, t_lo0))
         # Account for the final state's hit too (last re-trace result).
-        a = hit_alpha(gpu, hit)
+        a = hit_alpha(gpu, hit, origins, dirs)
         occ = occ | (hit.hit & (hit.t < t_max_v) & (a >= threshold))
         return occ
 

@@ -1,38 +1,40 @@
-"""Pallas traversal kernel: packed-key ordered visits, MXU intersection.
+"""Pallas traversal kernel v7: resident coefficients, ordered block visits.
 
-Fifth backend generation (ladder: bvh_backend -> packet_backend ->
-wide_backend -> pallas v1 -> this).  Profiling v1 on a v5e chip showed
-the XLA argsort of per-tile cluster candidates cost 4x the whole visit
-kernel, the (R, 3) ray layout padded 3 -> 128 lanes everywhere, and
-in-kernel scalar work (interval culling, argmin selection) serialized
-against the vector units.  This design splits the work by what each unit
-is good at:
+Sixth backend generation (ladder: bvh_backend -> packet_backend ->
+wide_backend -> pallas v1 -> packed-key v5 -> this).  On-chip ablations of
+v5 showed the ~1.9 us/visit floor was almost entirely *overhead*: 8 DMA
+start/waits per visit (PACK=4 double-buffered panels), 4 vector->scalar
+round trips in the pop, and the while-loop machinery — the actual
+intersection math is ~0.35 us.  v7 removes the overhead instead of
+shrinking the math:
 
-  * rays live in hardware-native (Ts, 8, 128) tiles end to end — rows
-    [o.xyz | d.xyz | t_min | t_max], one (16x8)-pixel block per tile
-    (ops/camera_rays.generate_ray_blocks emits them with pure iota math);
-  * XLA culls every cluster AABB against each tile's ray-bundle cone
-    (interval arithmetic, dense (Ts, C) vector math) and emits per tile a
-    block of **packed int32 keys**: the entry-distance lower bound's f32
-    bits with the low bits replaced by the cluster id.  Positive-float
-    bitcasts preserve order, and clearing the id bits only rounds the
-    lower bound DOWN, so key order is entry order and the stop rule stays
-    exact.  No sort anywhere — the kernel pops candidates with one
-    min-reduction each;
-  * the kernel owns the ordered-visit loop.  Per iteration it pops the
-    PACK nearest remaining clusters, DMAs their premultiplied
-    Baldwin-Weber coefficient panels (6, 8, K) from HBM into a composite
-    (6, 8, 128) scratch — small clusters (K=32) keep boxes tight so far
-    fewer triangles are tested, while the composite keeps every VPU op
-    at full 128-lane width — and intersects 128 rays x 128 triangles
-    with six (8,128)^T x (8,128) MXU matmuls (S_f = R^T P_f giving
-    n.o - n.A, n.d, r1.o - r1.A, r1.d, r2.o - r2.A, r2.d for every
-    (ray, tri) pair); the VPU epilogue forms t = -S0/S1,
-    u = S2 + t S3, v = S4 + t S5 and min-reduces per ray.  DMA groups
-    alternate so the next pack streams in while the current computes;
-  * visits stop when the nearest remaining entry exceeds every ray's
-    current best t (classic ordered-traversal exactness; duplicate or
-    past-the-stop visits are idempotent, so the tail needs no masking).
+  * **Coefficient table lives in VMEM.**  The Baldwin-Weber rows for ONE
+    triangle are 12 floats, so 100k triangles are only ~4.8 MB laid out as
+    (CB, 12, 128) — one 128-triangle block per leading index, rows
+    [n.xyz | -n.A | r1.xyz | -r1.A | r2.xyz | -r2.A], lanes = triangles.
+    Scenes up to RESIDENT_CB blocks (~130k tris) are pinned in VMEM and a
+    visit is a direct dynamic-slice read — NO DMA, no semaphores, no
+    double buffering.  Larger scenes fall back to per-visit (12, 128)
+    DMAs from HBM with the same loop structure (double-buffered).
+  * **Cull fine, visit coarse.**  XLA culls every K=32-triangle
+    subcluster AABB against each tile's ray-bundle cone (tight boxes =
+    few false candidates) and then reduces to 128-triangle block keys:
+    entry = min entry over the block's passing subclusters.  Visits keep
+    v5's packed-key ordered pops (entry-bits | block id, one
+    min-reduction per pop, exact stop rule) but each visit now covers 128
+    triangles with ONE scalar round trip.
+  * **Pop-ahead.**  The loop carry holds the next popped key, so the
+    pop's vector->scalar latency for visit j+1 overlaps visit j's
+    intersection math.
+  * **All-VPU exact f32 math.**  The intersection is ~21 outer-product
+    FMAs on (128, 128) tiles; ablations showed the MXU formulation needs
+    HIGHEST precision to avoid bf16 truncation of the cancellation-prone
+    n.o - n.A term (ADVICE r1) and is then *slower* than the FMA form.
+  * **Common-origin / common-direction algebra.**  Primary rays share one
+    origin (pinhole camera) and sun shadow rays share one direction, so
+    the corresponding three dot-product families collapse to (1, 128)
+    per-triangle rows — ~40% fewer full-width VPU ops for those traces.
+    Callers opt in via trace_blocks(..., common="origin"|"dir").
 
 Capability parity: this replaces the reference's hardware BVH query
 (traceRayEXT at src/shaders/raygen.rgen:99-107 over the BLAS/TLAS stack,
@@ -55,30 +57,62 @@ from realtimeraytracer_tpu.config import RenderConfig
 from realtimeraytracer_tpu.ops import intersect
 from realtimeraytracer_tpu.ops.intersect import BIG_T, HitRecord
 from realtimeraytracer_tpu.render.backends import TraceBackend, _merge_sphere_hits
-from realtimeraytracer_tpu.render.wide_backend import build_wide
 from realtimeraytracer_tpu.scene.gpu_scene import GPUScene
 
 F32 = jnp.float32
 I32 = jnp.int32
 TILE = 128          # rays per tile (lanes of the ray block)
-K = int(_os.environ.get("PB_K", "32"))   # triangles per cluster
-BT = int(_os.environ.get("PB_BT", "8"))  # ray tiles per grid step
-_ABLATE = _os.environ.get("PB_ABLATE", "")     # "", "empty", "novisit"
-_MAX_VISITS = int(_os.environ.get("PB_MAX_VISITS", "0"))  # 0 = unlimited
-_VARIANT = _os.environ.get("PB_VARIANT", "mxu")  # "mxu" | "fma"
-PACK = 128 // K     # clusters intersected per visit (composite width 128)
-CPB = 1024          # clusters per (8, 128) key block
+CB = 128            # triangles per visit block (lanes of a coeff read)
+SUBK = 32           # triangles per cull subcluster (4 boxes per block)
+CROWS = 12          # coefficient rows per block
+
+# PB_* env knobs mutate kernel behavior (layout, precision, even
+# correctness via ablations).  They are DEBUG-ONLY: without RTRT_DEBUG=1
+# they are ignored with a loud warning so a stray deployment env var can
+# never silently corrupt renders (ADVICE r1).
+_DEBUG = _os.environ.get("RTRT_DEBUG", "") == "1"
+
+
+def _knob(name: str, default: str) -> str:
+    val = _os.environ.get(name)
+    if val is None:
+        return default
+    if not _DEBUG:
+        import warnings
+
+        warnings.warn(
+            f"{name}={val!r} is set but RTRT_DEBUG!=1 — ignoring debug "
+            "override (would change kernel behavior)", stacklevel=2)
+        return default
+    import warnings
+
+    warnings.warn(f"RTRT_DEBUG kernel override active: {name}={val!r}",
+                  stacklevel=2)
+    return val
+
+
+BT = int(_knob("PB_BT", "8"))    # ray tiles per grid step
+_ABLATE = _knob("PB_ABLATE", "")           # "", "empty", "novisit"
+_MAX_VISITS = int(_knob("PB_MAX_VISITS", "0"))  # 0 = unlimited
+# Blocks intersected per pop, by trace mode.  Closest wants the tightest
+# ordered visits (stop rule retires tiles fast); occlusion amortizes
+# pop/loop overhead over more triangles since lit rays must exhaust every
+# candidate anyway.
+PACK = max(1, int(_knob("PB_PACK", "1")))
+OPACK = max(1, int(_knob("PB_OPACK", "2")))
+# VMEM-residency limit for the coefficient table, in blocks (6 KB each).
+RESIDENT_CB = int(_knob("PB_RESIDENT_CB", "1024"))
+
+CPB = 1024          # block keys per (8, 128) key page
 # Python float for in-kernel use (a jnp scalar would be a captured constant,
 # which pallas kernels reject).
 BIG = 3.0e38
 EPS = 1e-12
 INVALID = 0x7F800000                     # +inf bits: "no candidate left"
-# (a Python int: jnp scalars become captured constants, which pallas
-# kernels reject)
 
 
-def _id_bits(total_clusters: int) -> int:
-    return max(13, int(total_clusters - 1).bit_length())
+def _id_bits(total_blocks: int) -> int:
+    return max(13, int(total_blocks - 1).bit_length())
 
 
 def _pack_rays(origins, dirs, t_min, t_max):
@@ -101,30 +135,18 @@ def _pack_rays(origins, dirs, t_min, t_max):
     return blk, r, ts
 
 
-# Panel storage geometry: DMA units must be whole (x, 128) lane rows, so
-# each cluster's six (8, K) coefficient families are tiled into a compact
-# (8 * ROWBANDS, 128) block — family f lives at sublanes
-# [8*(f // BPR), +8), lanes [K*(f % BPR), +K).
-BPR = 128 // K                   # family blocks per 128-lane row band
-ROWBANDS = -(-6 // BPR)
-PROWS = 8 * ROWBANDS
-
-
-def _family_pos(f: int) -> tuple[int, int]:
-    return 8 * (f // BPR), K * (f % BPR)
-
-
 def pack_clusters_np(tv0, tv1, tv2):
     """NumPy twin of pack_clusters, run ONCE at scene compile.
 
-    (T, 3) Morton/SAH-sorted triangle vertices -> (panels, cl_min, cl_max)
-    as numpy arrays; see pack_clusters for the layout contract.
+    (T, 3) Morton/SAH-sorted triangle vertices -> (coeff, cl_min, cl_max):
+    coeff (CBn, 12, 128) Baldwin-Weber coefficient blocks, cl_min/cl_max
+    (CBn*4, 3) SUBK-granular subcluster AABBs for the cull.
     """
     import numpy as np
 
     t = tv0.shape[0]
-    c = -(-t // K)
-    pad = c * K - t
+    cb = -(-t // CB)
+    pad = cb * CB - t
 
     def padv(x):
         x = np.asarray(x, np.float32)
@@ -137,73 +159,76 @@ def pack_clusters_np(tv0, tv1, tv2):
     inv = np.where(det > 1e-24, 1.0 / np.where(det > 1e-24, det, 1.0), 0.0)
     r1 = np.cross(e2, n) * inv
     r2 = np.cross(n, e1) * inv
-    rows = np.stack([n, r1, r2], 1).astype(np.float32)      # (T', 3, 3)
-    offs = (rows * v0[:, None, :]).sum(-1).astype(np.float32)  # (T', 3)
 
-    panels = np.zeros((c, PROWS, 128), np.float32)
-    rows_c = rows.reshape(c, K, 3, 3)
-    offs_c = offs.reshape(c, K, 3)
-    for f, (row_idx, want_d) in enumerate(
-            [(0, False), (0, True), (1, False), (1, True),
-             (2, False), (2, True)]):
-        rs, cs = _family_pos(f)
-        lo = rs + (4 if want_d else 0)
-        panels[:, lo:lo + 3, cs:cs + K] = rows_c[:, :, row_idx, :].transpose(0, 2, 1)
-        if not want_d:
-            panels[:, rs + 3, cs:cs + K] = -offs_c[:, :, row_idx]
+    coeff = np.zeros((cb, CROWS, CB), np.float32)
+    for fam, (rows, base) in enumerate([(n, 0), (r1, 4), (r2, 8)]):
+        offs = (rows * v0).sum(-1)                     # (T',)
+        coeff[:, base + 0] = rows[:, 0].reshape(cb, CB)
+        coeff[:, base + 1] = rows[:, 1].reshape(cb, CB)
+        coeff[:, base + 2] = rows[:, 2].reshape(cb, CB)
+        coeff[:, base + 3] = -offs.reshape(cb, CB)
 
-    tmin = np.minimum(np.minimum(v0, v1), v2).reshape(c, K, 3)
-    tmax = np.maximum(np.maximum(v0, v1), v2).reshape(c, K, 3)
+    c32 = cb * (CB // SUBK)
+    tmin = np.minimum(np.minimum(v0, v1), v2).reshape(c32, SUBK, 3)
+    tmax = np.maximum(np.maximum(v0, v1), v2).reshape(c32, SUBK, 3)
     if pad:
-        valid = (np.arange(c * K) < t).reshape(c, K, 1)
+        valid = (np.arange(cb * CB) < t).reshape(c32, SUBK, 1)
         tmin = np.where(valid, tmin, BIG_T)
         tmax = np.where(valid, tmax, -BIG_T)
-    return panels, tmin.min(1).astype(np.float32), tmax.max(1).astype(np.float32)
+    return coeff, tmin.min(1).astype(np.float32), tmax.max(1).astype(np.float32)
 
 
 def pack_clusters(gpu: GPUScene):
-    """Scene -> (panels, cl_min, cl_max) for the kernel.
+    """In-graph twin of pack_clusters_np (for scenes compiled without the
+    host precompute, e.g. device-side refits).  Same layout contract."""
+    v0, v1, v2 = gpu.bvh_tri_v0, gpu.bvh_tri_v1, gpu.bvh_tri_v2
+    t = v0.shape[0]
+    cb = -(-t // CB)
+    pad = cb * CB - t
 
-    panels: (C, PROWS, 128) premultiplied Baldwin-Weber coefficient
-      panels; family f (an (8, K) matmul rhs) sits at _family_pos(f).
-      With ray row R = [o.x o.y o.z 1 d.x d.y d.z 0] the product R P_f
-      yields [n.o - n.A, n.d, r1.o - r1.A, r1.d, r2.o - r2.A, r2.d][f].
-      Padded triangles are all-zero (plane normal 0 -> rejected by the
-      denominator test), so no validity lane is needed.
-    cl_min/cl_max: (C, 3) cluster AABBs for the XLA cull.
-    """
-    wd = build_wide(gpu, K)
-    c = wd.cl_min.shape[0]
-    rows = wd.bw_rows.reshape(c, K, 3, 3)       # (C, K, [n r1 r2], xyz)
-    offs = wd.bw_offs.reshape(c, K, 3)          # (C, K, [n.A r1.A r2.A])
+    def padv(x):
+        return jnp.concatenate([x, jnp.zeros((pad, 3), F32)]) if pad else x
 
-    panels = jnp.zeros((c, PROWS, 128), F32)
-    for f, (row_idx, want_d) in enumerate(
-            [(0, False), (0, True), (1, False), (1, True),
-             (2, False), (2, True)]):
-        coeff = rows[:, :, row_idx, :].transpose(0, 2, 1)   # (C, 3, K)
-        rs, cs = _family_pos(f)
-        lo = rs + (4 if want_d else 0)
-        panels = panels.at[:, lo:lo + 3, cs:cs + K].set(coeff)
-        if not want_d:
-            panels = panels.at[:, rs + 3, cs:cs + K].set(
-                -offs[:, :, row_idx])
-    return panels, wd.cl_min, wd.cl_max
+    v0, v1, v2 = padv(v0), padv(v1), padv(v2)
+    e1, e2 = v1 - v0, v2 - v0
+    n = jnp.cross(e1, e2)
+    det = jnp.sum(n * n, -1, keepdims=True)
+    inv = jnp.where(det > 1e-24, 1.0 / jnp.where(det > 1e-24, det, 1.0), 0.0)
+    r1 = jnp.cross(e2, n) * inv
+    r2 = jnp.cross(n, e1) * inv
+
+    parts = []
+    for rows in (n, r1, r2):
+        offs = jnp.sum(rows * v0, -1)
+        parts += [rows[:, 0], rows[:, 1], rows[:, 2], -offs]
+    coeff = jnp.stack(parts, axis=0).reshape(CROWS, cb, CB).transpose(1, 0, 2)
+
+    c32 = cb * (CB // SUBK)
+    tmin = jnp.minimum(jnp.minimum(v0, v1), v2).reshape(c32, SUBK, 3)
+    tmax = jnp.maximum(jnp.maximum(v0, v1), v2).reshape(c32, SUBK, 3)
+    if pad:
+        valid = (jnp.arange(cb * CB) < t).reshape(c32, SUBK, 1)
+        tmin = jnp.where(valid, tmin, BIG_T)
+        tmax = jnp.where(valid, tmax, -BIG_T)
+    return coeff, tmin.min(axis=1), tmax.max(axis=1)
 
 
 def cull_keys(rays, cl_min, cl_max):
-    """Per-tile packed candidate keys (Ts, CBn, 8, 128) int32, XLA-side.
+    """Per-tile packed block-candidate keys (Ts, CBn, 8, 128) int32.
 
-    Interval-arithmetic slab test of every cluster AABB against each
-    tile's ray bundle (origin box x direction interval): conservative
-    (false positives only cost visits) and yields an entry-distance
-    LOWER bound, keeping the kernel's ordered-visit stop rule exact.
-    The key packs the bound's f32 bits (id-bits cleared = rounded down,
-    still a lower bound) with the cluster id.
+    Interval-arithmetic slab test of every SUBK-triangle subcluster AABB
+    against each tile's ray bundle (origin box x direction interval):
+    conservative (false positives only cost visits) and yields an
+    entry-distance LOWER bound, keeping the kernel's ordered-visit stop
+    rule exact.  Subcluster entries then reduce to 128-triangle BLOCK keys
+    (entry = min over the block's passing subclusters) — cull fine, visit
+    coarse.  The key packs the bound's f32 bits (id-bits cleared = rounded
+    down, still a lower bound) with the block id.
     """
     ts = rays.shape[0]
-    c = cl_min.shape[0]
-    cbn = -(-c // CPB)
+    c32 = cl_min.shape[0]
+    cb = c32 // (CB // SUBK)
+    cbn = -(-cb // CPB)
     bits = _id_bits(cbn * CPB)
     id_mask = (1 << bits) - 1
 
@@ -230,7 +255,7 @@ def cull_keys(rays, cl_min, cl_max):
             return (jnp.minimum(jnp.minimum(p1, p2), jnp.minimum(p3, p4)),
                     jnp.maximum(jnp.maximum(p1, p2), jnp.maximum(p3, p4)))
 
-        bmin = cl_min[None, :, a]                          # (1, C)
+        bmin = cl_min[None, :, a]                          # (1, C32)
         bmax = cl_max[None, :, a]
         t0l, t0h = times(bmin - o_hi, bmin - o_lo, inv_lo, inv_hi)
         t1l, t1h = times(bmax - o_hi, bmax - o_lo, inv_lo, inv_hi)
@@ -240,28 +265,34 @@ def cull_keys(rays, cl_min, cl_max):
         tf = hi_a if tf is None else jnp.minimum(tf, hi_a)
     possible = (tn <= tf) & (tf >= tmin_lb) & (tn <= tmax_ub)
 
-    ent = jnp.maximum(tn, 0.0)
-    ids = jnp.arange(c, dtype=I32)[None, :]
-    key = (jax.lax.bitcast_convert_type(ent, I32) & ~id_mask) | ids
-    key = jnp.where(possible, key, INVALID)
-    pad = cbn * CPB - c
+    # Reduce subclusters -> blocks: entry = min over passing subclusters.
+    ent = jnp.where(possible, jnp.maximum(tn, 0.0), jnp.inf)
+    ent = ent.reshape(ts, cb, CB // SUBK).min(axis=2)      # (Ts, CB)
+    any_possible = jnp.isfinite(ent)
+
+    ids = jnp.arange(cb, dtype=I32)[None, :]
+    key = (jax.lax.bitcast_convert_type(
+        jnp.where(any_possible, ent, 0.0), I32) & ~id_mask) | ids
+    key = jnp.where(any_possible, key, INVALID)
+    pad = cbn * CPB - cb
     if pad:
         key = jnp.concatenate(
             [key, jnp.full((ts, pad), INVALID, I32)], axis=1)
     return key.reshape(ts, cbn, 8, 128), id_mask
 
 
-def _trace_kernel(rays_ref, keys_ref, panels_hbm, outf_ref, outi_ref,
-                  ent_ref, panel_buf, sems, *, cbn, c, mode, id_mask):
+def _trace_kernel(rays_ref, keys_ref, coeff_ref, outf_ref, outi_ref,
+                  ent_ref, cbuf, sems, *, cbn, cb, mode, id_mask, pack,
+                  common, resident):
     """One grid cell = BT 128-ray tiles; mode 'closest' or 'occluded'.
 
     BT tiles share one grid step (fori_loop below) because Mosaic
     serializes grid steps whose kernels hold manual DMAs inside a while
     loop — batching amortizes that per-step cost.
 
-    Scratch: ent_ref (cbn, 8, 128) int32 remaining candidate keys,
-    panel_buf (2, PACK, PROWS, 128) double-buffered compact-panel DMA
-    target, sems (2, PACK) DMA semaphores.
+    Scratch: ent_ref (cbn, 8, 128) int32 remaining candidate keys; cbuf +
+    sems are the (2, pack, 12, 128) double-buffered coefficient DMA target
+    + semaphores, allocated only on the non-resident (HBM) path.
     """
     if _ABLATE == "empty":                       # grid machinery only
         outf_ref[0, 0, :] = rays_ref[0, 6, :]
@@ -273,14 +304,16 @@ def _trace_kernel(rays_ref, keys_ref, panels_hbm, outf_ref, outi_ref,
 
     jax.lax.fori_loop(
         0, BT,
-        lambda b, _: _tile_body(b, rays_ref, keys_ref, panels_hbm, outf_ref,
-                                outi_ref, ent_ref, panel_buf, sems,
-                                cbn=cbn, c=c, mode=mode, id_mask=id_mask),
+        lambda b, _: _tile_body(b, rays_ref, keys_ref, coeff_ref, outf_ref,
+                                outi_ref, ent_ref, cbuf, sems,
+                                cbn=cbn, cb=cb, mode=mode, id_mask=id_mask,
+                                pack=pack, common=common, resident=resident),
         jnp.int32(0))
 
 
-def _tile_body(b, rays_ref, keys_ref, panels_hbm, outf_ref, outi_ref,
-               ent_ref, panel_buf, sems, *, cbn, c, mode, id_mask):
+def _tile_body(b, rays_ref, keys_ref, coeff_ref, outf_ref, outi_ref,
+               ent_ref, cbuf, sems, *, cbn, cb, mode, id_mask, pack,
+               common, resident):
     """Full ordered-visit trace of ONE 128-ray tile (index b in the step)."""
     rays = rays_ref[b]                           # (8, 128)
     tmin_c = rays[6, :][:, None]                 # (128, 1) column
@@ -289,21 +322,21 @@ def _tile_body(b, rays_ref, keys_ref, panels_hbm, outf_ref, outi_ref,
     ent_ref[...] = keys_ref[b]
 
     def pop_group():
-        """Pop PACK near-minimal keys with ONE full-array pass.
+        """Pop `pack` near-minimal keys with ONE full-array pass.
 
         Lane-distinct selection: reduce to per-lane minima (1, 128), then
-        take PACK successive minima of that small vector.  The first is
+        take `pack` successive minima of that small vector.  The first is
         the true global minimum (so the ordered-visit stop rule stays
         exact); later ones are merely near-minimal, which only perturbs
-        visit order, not correctness.  One masked write retires all PACK.
+        visit order, not correctness.  One masked write retires them all.
         """
         e = ent_ref[...]
         lane_min = jnp.min(e, axis=(0, 1), keepdims=True)[0]   # (1, 128)
         ms = []
-        for _ in range(PACK):
+        for _ in range(pack):
             m = jnp.min(lane_min)
             ms.append(m)
-            if PACK > 1:
+            if pack > 1:
                 lane_min = jnp.where(lane_min == m, INVALID, lane_min)
         popped = e == ms[0]
         for m in ms[1:]:
@@ -312,181 +345,157 @@ def _tile_body(b, rays_ref, keys_ref, panels_hbm, outf_ref, outi_ref,
         return ms
 
     def dma(group, u, key):
-        cid = jnp.minimum(key & id_mask, c - 1)
+        cid = jnp.minimum(key & id_mask, cb - 1)
         return pltpu.make_async_copy(
-            panels_hbm.at[cid], panel_buf.at[group, u], sems.at[group, u])
+            coeff_ref.at[cid], cbuf.at[group, u], sems.at[group, u])
 
-    def composite(group):
-        """(8, 768) matmul rhs: 6 families x PACK clusters side by side."""
-        parts = []
-        for f in range(6):
-            rs, cs = _family_pos(f)
-            parts += [panel_buf[group, u, rs:rs + 8, cs:cs + K]
-                      for u in range(PACK)]
-        return jnp.concatenate(parts, axis=1)
+    # Ray columns for the FMA intersection (exact f32, no MXU).
+    ocol = [rays[a, :][:, None] for a in range(3)]       # (128, 1) each
+    dcol = [rays[3 + a, :][:, None] for a in range(3)]
+    if common == "origin":
+        # All rays share one origin: origin dots collapse to (1, 128) rows.
+        ocol = [rays[a, 0:1][:, None] for a in range(3)]  # (1, 1) scalars
+    elif common == "dir":
+        dcol = [rays[3 + a, 0:1][:, None] for a in range(3)]
 
-    # Matmul lhs: rays extended with a ones row (for the -A offsets) and a
-    # zeros row, so S_f = lhs^T P_f gives the six inner-product families.
-    lhs = jnp.concatenate(
-        [rays[0:3], jnp.ones((1, TILE), F32), rays[3:6],
-         jnp.zeros((1, TILE), F32)], axis=0)     # (8, 128)
+    lane_t = jax.lax.broadcasted_iota(I32, (TILE, CB), 1)
 
-    lane = jax.lax.broadcasted_iota(I32, (TILE, 1), 0)  # 0..127 column
+    def intersect_block(c):
+        """Baldwin-Weber t/u/v of 128 rays x this block's 128 triangles.
+
+        c: (12, 128) rows [n | -nA | r1 | -r1A | r2 | -r2A].  With a
+        common origin (or direction) the corresponding dot family
+        broadcasts from a (1, 128) row — ~40% fewer full-width ops.
+        """
+        def dot_o(base):
+            return (ocol[0] * c[base + 0:base + 1]
+                    + ocol[1] * c[base + 1:base + 2]
+                    + ocol[2] * c[base + 2:base + 3]
+                    + c[base + 3:base + 4])
+
+        def dot_d(base):
+            return (dcol[0] * c[base + 0:base + 1]
+                    + dcol[1] * c[base + 1:base + 2]
+                    + dcol[2] * c[base + 2:base + 3])
+
+        s0, s1 = dot_o(0), dot_d(0)
+        den_ok = jnp.abs(s1) > EPS
+        t = jnp.where(den_ok, -s0 / jnp.where(den_ok, s1, 1.0), BIG)
+        u = dot_o(4) + t * dot_d(4)
+        v = dot_o(8) + t * dot_d(8)
+        ok = (den_ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+              & (t >= tmin_c))
+        return t, ok
 
     def cond(state):
-        keys, best_t, best_k, uv_c, visits = state
+        keys, best_t, best_k, visits = state
         limit_bits = jax.lax.bitcast_convert_type(
             jnp.minimum(best_t, tmax_c), I32)
         worst = jnp.max(limit_bits)              # int-ordered: pads (<0) lose
         go = (keys[0] != INVALID) & ((keys[0] & ~id_mask) <= worst)
-        if _ABLATE in ("novisit", "nopop", "nodma"):
+        if _ABLATE == "novisit":
             go = go & (visits < 0)
         elif _MAX_VISITS:
             go = go & (visits < _MAX_VISITS)
         return go
 
     def body(state):
-        keys, best_t, best_k, uv_c, visits = state
+        keys, best_t, best_k, visits = state
         g = jax.lax.rem(visits, 2)
 
-        # Pop + start the NEXT pack's DMAs while this pack computes.
+        # Pop first: the NEXT keys' vector->scalar trip (and, on the HBM
+        # path, their DMAs) overlap this visit's intersection math.
         nxt = pop_group()
-        for u in range(PACK):
-            dma(1 - g, u, nxt[u]).start()
-        if _ABLATE != "nowait":                  # perf probe only
-            for u in range(PACK):
+        if not resident:
+            for u in range(pack):
+                dma(1 - g, u, nxt[u]).start()
+            for u in range(pack):
                 dma(g, u, keys[u]).wait()
 
-        if _VARIANT == "fma":
-            # 21 outer-product FMAs on the VPU: exact f32, no MXU passes.
-            comp = composite(g)                  # (8, 768)
-            cols = [lhs[a, :][:, None] for a in range(7)]  # (128,1) each
+        for u in range(pack):
+            cid = jnp.minimum(keys[u] & id_mask, cb - 1)
+            c = cbuf[g, u] if not resident else coeff_ref[cid]
+            t, ok = intersect_block(c)
 
-            def fam(f):
-                return comp[:, f * TILE:(f + 1) * TILE]
-
-            def dot_o(f):
-                p = fam(f)
-                return (cols[0] * p[0:1, :] + cols[1] * p[1:2, :]
-                        + cols[2] * p[2:3, :] + p[3:4, :])
-
-            def dot_d(f):
-                p = fam(f)
-                return (cols[4] * p[4:5, :] + cols[5] * p[5:6, :]
-                        + cols[6] * p[6:7, :])
-
-            s0, s1 = dot_o(0), dot_d(1)
-            s2, s3 = dot_o(2), dot_d(3)
-            s4, s5 = dot_o(4), dot_d(5)
-        else:
-            s = jax.lax.dot_general(
-                lhs, composite(g),
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=F32,
-            )                                    # (128 rays, 6*128)
-            s0, s1, s2, s3, s4, s5 = [
-                s[:, f * TILE:(f + 1) * TILE] for f in range(6)]
-
-        den_ok = jnp.abs(s1) > EPS
-        t = jnp.where(den_ok, -s0 / jnp.where(den_ok, s1, 1.0), BIG)
-        u = s2 + t * s3
-        v = s4 + t * s5
-        limit = jnp.minimum(best_t, tmax_c)
-        ok = (den_ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-              & (t >= tmin_c) & (t <= limit))
-
-        if mode == "closest":
-            # Pack (t | lane) into one int so ONE lane-reduction finds both
-            # the best t and its lane (bitcasts of non-negative f32 are
-            # order-preserving; clearing the low 7 bits rounds t down by
-            # <= 2^-16 relative — far below f32 hit-point noise).
-            # Misses use +inf: its bits (0x7F800000 | lane) order above any
-            # finite t-key, so a no-hit visit can never look "better".
-            tm = jnp.where(ok, t, jnp.float32(jnp.inf))
-            lane_t = jax.lax.broadcasted_iota(I32, (TILE, TILE), 1)
-            tkey = (jax.lax.bitcast_convert_type(tm, I32) & ~127) | lane_t
-            kbest = jnp.min(tkey, axis=1, keepdims=True)      # (128, 1)
-            best_bits = jax.lax.bitcast_convert_type(best_t, I32)
-            better = kbest < best_bits
-            kmin = kbest & 127
-            # Second reduction extracts the winner's (u, v), quantized to
-            # 12 bits each in one f32-exact integer (<= 2^24).
-            uvq = (jnp.clip(u * 4095.0, 0.0, 4095.0).astype(I32) * 4096
-                   + jnp.clip(v * 4095.0, 0.0, 4095.0).astype(I32))
-            uv_win = jnp.max(jnp.where(lane_t == kmin, uvq, -1),
-                             axis=1, keepdims=True)           # (128, 1)
-            # Composite lane -> sorted-triangle id: cluster = packed slot
-            # kmin // K (its id from this pack's keys), tri = kmin % K.
-            if PACK == 1:
-                tri = (keys[0] & id_mask) * K + kmin
+            if mode == "closest":
+                limit = jnp.minimum(best_t, tmax_c)
+                ok = ok & (t <= limit)
+                # Pack (t | lane) into one int so ONE lane-reduction finds
+                # both the best t and its lane (bitcasts of non-negative
+                # f32 are order-preserving; clearing the low 7 bits rounds
+                # t down by <= 2^-16 relative — far below f32 hit-point
+                # noise).  Misses use +inf: its bits (0x7F800000 | lane)
+                # order above any finite t-key, so a no-hit visit can never
+                # look "better".  (u, v) are NOT extracted here: the
+                # surface resolver recomputes them differentiably from the
+                # winning triangle (render/surface.py), saving the uv
+                # quantize ops and a second lane reduction per visit.
+                tm = jnp.where(ok, t, jnp.float32(jnp.inf))
+                tkey = (jax.lax.bitcast_convert_type(tm, I32) & ~127) | lane_t
+                kbest = jnp.min(tkey, axis=1, keepdims=True)      # (128, 1)
+                best_bits = jax.lax.bitcast_convert_type(best_t, I32)
+                better = kbest < best_bits
+                tri = cid * CB + (kbest & 127)
+                best_t = jnp.where(
+                    better,
+                    jax.lax.bitcast_convert_type(kbest & ~127, F32), best_t)
+                best_k = jnp.where(better, tri, best_k)
             else:
-                slot = jax.lax.shift_right_logical(kmin, K.bit_length() - 1)
-                cid_sel = keys[PACK - 1] & id_mask
-                for uu in range(PACK - 2, -1, -1):
-                    cid_sel = jnp.where(slot == uu, keys[uu] & id_mask,
-                                        cid_sel)
-                tri = cid_sel * K + jax.lax.rem(kmin, K)
-            best_t = jnp.where(
-                better,
-                jax.lax.bitcast_convert_type(kbest & ~127, F32), best_t)
-            best_k = jnp.where(better, tri, best_k)
-            uv_c = jnp.where(better, uv_win, uv_c)
-        else:
-            hit_any = jnp.any(ok, axis=1, keepdims=True)
-            # Occluded rays collapse to -BIG so the stop rule retires them.
-            best_t = jnp.where(hit_any, -BIG, best_t)
+                ok = ok & (t <= tmax_c)
+                hit_any = jnp.any(ok, axis=1, keepdims=True)
+                # Occluded rays collapse to -BIG: the stop rule retires them.
+                best_t = jnp.where(hit_any, -BIG, best_t)
 
-        return (tuple(nxt), best_t, best_k, uv_c, visits + 1)
+        return (tuple(nxt), best_t, best_k, visits + 1)
 
-    if _ABLATE == "nopop":
-        first = [jnp.int32(INVALID)] * PACK
-    else:
-        first = pop_group()
-    if _ABLATE != "nodma":
-        for u in range(PACK):
+    first = pop_group()
+    if not resident:
+        for u in range(pack):
             dma(0, u, first[u]).start()
     init = (
         tuple(first),
         jnp.full((TILE, 1), BIG, F32),
         jnp.full((TILE, 1), -1, I32),
-        jnp.zeros((TILE, 1), I32),
         jnp.int32(0),
     )
-    keys_end, best_t, best_k, uv_c, visits = jax.lax.while_loop(
-        cond, body, init)
+    keys_end, best_t, best_k, visits = jax.lax.while_loop(cond, body, init)
 
     # The last started pack (group visits%2) was never waited on: retire it.
-    if _ABLATE != "nodma":
-        for u in range(PACK):
+    if not resident:
+        for u in range(pack):
             dma(jax.lax.rem(visits, 2), u, keys_end[u]).wait()
 
     if mode == "closest":
         outf_ref[b, 0, :] = best_t[:, 0]
-        outf_ref[b, 1, :] = (uv_c[:, 0] >> 12).astype(F32) * (1.0 / 4095.0)
-        outf_ref[b, 2, :] = (uv_c[:, 0] & 4095).astype(F32) * (1.0 / 4095.0)
     else:
         outf_ref[b, 0, :] = jnp.where(best_t[:, 0] < 0.0, 1.0, 0.0)
-        outf_ref[b, 1, :] = jnp.zeros((TILE,), F32)
-        outf_ref[b, 2, :] = jnp.zeros((TILE,), F32)
+    outf_ref[b, 1, :] = jnp.zeros((TILE,), F32)
+    outf_ref[b, 2, :] = jnp.zeros((TILE,), F32)
     outi_ref[b, 0, :] = best_k[:, 0]
-    outi_ref[b, 1, :] = jnp.full((TILE,), 1, I32) * visits
+    outi_ref[b, 1, :] = jnp.full((TILE,), 1, I32) * visits * pack
     return jnp.int32(0)
 
 
-def trace_blocks(gpu: GPUScene, cfg: RenderConfig, ray_blocks, mode):
+def trace_blocks(gpu: GPUScene, cfg: RenderConfig, ray_blocks, mode,
+                 common: str | None = None):
     """Trace packed (Ts, 8, 128) ray blocks.
 
-    Returns (outf, outi): outf rows [t | u | v] ('closest') or
+    common: "origin" iff every ray in EVERY tile shares one origin
+    (pinhole primaries), "dir" iff one direction (sun shadows) — enables
+    the collapsed-dot fast path; None for general rays.
+
+    Returns (outf, outi): outf rows [t | - | -] ('closest') or
     [occluded-flag | - | -] ('occluded'); outi rows [sorted-tri id or -1 |
-    visit count].
+    visited-block count].
     """
     ts = ray_blocks.shape[0]
-    if gpu.pallas_panels is not None and gpu.pallas_panels.shape[1] == PROWS:
-        panels = gpu.pallas_panels
+    if gpu.pallas_panels is not None and gpu.pallas_panels.shape[1] == CROWS:
+        coeff = gpu.pallas_panels
         cl_min, cl_max = gpu.pallas_cl_min, gpu.pallas_cl_max
     else:
-        panels, cl_min, cl_max = pack_clusters(gpu)
-    c = panels.shape[0]
+        coeff, cl_min, cl_max = pack_clusters(gpu)
+    cb = coeff.shape[0]
+    resident = cb <= RESIDENT_CB
     # Pad the tile count to a BT multiple; pad tiles carry t_min=+BIG /
     # t_max=-BIG so the cull yields no candidates and visits exit at once.
     pad = (-ts) % BT
@@ -499,8 +508,21 @@ def trace_blocks(gpu: GPUScene, cfg: RenderConfig, ray_blocks, mode):
     keys, id_mask = cull_keys(ray_blocks, cl_min, cl_max)
     cbn = keys.shape[1]
 
-    kernel = functools.partial(_trace_kernel, cbn=cbn, c=c, mode=mode,
-                               id_mask=id_mask)
+    pack = PACK if mode == "closest" else OPACK
+    kw = dict(cbn=cbn, cb=cb, mode=mode, id_mask=id_mask,
+              pack=pack, common=common, resident=resident)
+    scratch = [pltpu.VMEM((cbn, 8, 128), I32)]
+    if resident:
+        coeff_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+        def kernel(rays, keys, coeff, outf, outi, ent):
+            _trace_kernel(rays, keys, coeff, outf, outi, ent, None, None,
+                          **kw)
+    else:
+        coeff_spec = pl.BlockSpec(memory_space=pltpu.ANY)  # stays in HBM
+        scratch += [pltpu.VMEM((2, pack, CROWS, CB), F32),
+                    pltpu.SemaphoreType.DMA((2, pack))]
+        kernel = functools.partial(_trace_kernel, **kw)
     outf, outi = pl.pallas_call(
         kernel,
         grid=(tsp // BT,),
@@ -509,7 +531,7 @@ def trace_blocks(gpu: GPUScene, cfg: RenderConfig, ray_blocks, mode):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BT, cbn, 8, 128), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),   # panels stay in HBM
+            coeff_spec,
         ],
         out_specs=[
             pl.BlockSpec((BT, 8, TILE), lambda i: (i, 0, 0),
@@ -521,22 +543,19 @@ def trace_blocks(gpu: GPUScene, cfg: RenderConfig, ray_blocks, mode):
             jax.ShapeDtypeStruct((tsp, 8, TILE), F32),
             jax.ShapeDtypeStruct((tsp, 8, TILE), I32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((cbn, 8, 128), I32),
-            pltpu.VMEM((2, PACK, PROWS, 128), F32),
-            pltpu.SemaphoreType.DMA((2, PACK)),
-        ],
+        scratch_shapes=scratch,
         interpret=jax.default_backend() != "tpu",
-    )(ray_blocks, keys, panels)
+    )(ray_blocks, keys, coeff)
     return outf[:ts], outi[:ts]
 
 
-def _run(gpu: GPUScene, cfg: RenderConfig, origins, dirs, t_min, t_max, mode):
+def _run(gpu: GPUScene, cfg: RenderConfig, origins, dirs, t_min, t_max, mode,
+         common=None):
     r = origins.shape[0]
     t_min = jnp.broadcast_to(jnp.asarray(t_min, F32), (r,))
     t_max = jnp.broadcast_to(jnp.asarray(t_max, F32), (r,)).astype(F32)
     rays, r_orig, ts = _pack_rays(origins, dirs, t_min, t_max)
-    outf, outi = trace_blocks(gpu, cfg, rays, mode)
+    outf, outi = trace_blocks(gpu, cfg, rays, mode, common=common)
     tb = outf[:, 0, :].reshape(-1)[:r_orig]
     kb = outi[:, 0, :].reshape(-1)[:r_orig]
     ub = outf[:, 1, :].reshape(-1)[:r_orig]
@@ -544,18 +563,23 @@ def _run(gpu: GPUScene, cfg: RenderConfig, origins, dirs, t_min, t_max, mode):
     return tb, kb, ub, vb
 
 
-def pallas_closest(gpu, cfg, origins, dirs, t_min, t_max) -> HitRecord:
-    tb, kb, ub, vb = _run(gpu, cfg, origins, dirs, t_min, t_max, "closest")
+def pallas_closest(gpu, cfg, origins, dirs, t_min, t_max,
+                   common=None) -> HitRecord:
+    tb, kb, ub, vb = _run(gpu, cfg, origins, dirs, t_min, t_max, "closest",
+                          common=common)
     # scene.compile permutes the face table into BVH order (bvh_tri_id is
     # the identity), so the sorted triangle id IS the face id — no gather.
+    # (u, v) are zeros: the kernel defers barycentrics to the consumer,
+    # which recomputes them exactly (and differentiably) from the winning
+    # triangle — see render/surface.py / render/alpha.py.
     orig = jnp.where(kb >= 0, kb, -1)
-    ub = jnp.where(kb >= 0, ub, 0.0)
-    vb = jnp.where(kb >= 0, vb, 0.0)
     return HitRecord(t=tb, prim_id=orig.astype(I32), u=ub, v=vb)
 
 
-def pallas_occluded(gpu, cfg, origins, dirs, t_min, t_max) -> jnp.ndarray:
-    tb, _, _, _ = _run(gpu, cfg, origins, dirs, t_min, t_max, "occluded")
+def pallas_occluded(gpu, cfg, origins, dirs, t_min, t_max,
+                    common=None) -> jnp.ndarray:
+    tb, _, _, _ = _run(gpu, cfg, origins, dirs, t_min, t_max, "occluded",
+                       common=common)
     return tb > 0.5
 
 

@@ -118,6 +118,10 @@ def resolve_surface(gpu: GPUScene, hit: HitRecord,
     )                                                   # (O, 10)
     m = mat_row[obj]                                    # (R, 10)
     color = m[..., 0:3]
+    # Emitters use the raw material color, not texture overrides: the
+    # reference's light path returns lightColor straight from the light
+    # table (closesthit.rchit:46-50), never a sampled texel.
+    emit_color = m[..., 0:3]
     spec = m[..., 3]
     metal = m[..., 4]
     hit_light = (~missed) & (m[..., 5] > 0)
@@ -149,5 +153,5 @@ def resolve_surface(gpu: GPUScene, hit: HitRecord,
         valid=valid, hit_light=hit_light, missed=missed,
         position=position, normal=normal, uv=uv,
         albedo=albedo, roughness=roughness, metallic=metal,
-        light_color=color, obj_id=obj,
+        light_color=emit_color, obj_id=obj,
     )
