@@ -21,6 +21,12 @@ from realtimeraytracer_tpu.scene.materials import Material
 from realtimeraytracer_tpu.scene.geometry import Sphere, TriangleMesh
 from realtimeraytracer_tpu.scene.lights import AreaLight, DirectionalLight
 from realtimeraytracer_tpu.scene.scene import Scene
+# NOTE: the function `render` shadows the `render` subpackage as a package
+# ATTRIBUTE (sys.modules keeps the real subpackage).  Consequence: use
+# `from realtimeraytracer_tpu.render import x` (or a plain
+# `import realtimeraytracer_tpu.render.x`), never
+# `import realtimeraytracer_tpu.render.x as y` — the `as` binding resolves
+# through the shadowed attribute and raises ImportError.
 from realtimeraytracer_tpu.render.megakernel import render
 from realtimeraytracer_tpu.render.pipeline import render_pipeline
 

@@ -166,8 +166,8 @@ def shade_sample(
             contrib = brdf * radiance * inv_pdf
             shadowed_sum = shadowed_sum + lit * contrib
             unshadowed_sum = unshadowed_sum + contrib
-        shadowed_s = shadowed_sum * (1.0 / num_s)
-        unshadowed_s = unshadowed_sum * (1.0 / num_s)
+        shadowed_s = shadowed_sum * (1.0 / max(num_s, 1))
+        unshadowed_s = unshadowed_sum * (1.0 / max(num_s, 1))
 
         # Analytic LTC (raygen.rgen:277-283); None = identity Minv (diffuse).
         two_b = jnp.broadcast_to(ltwo, (R,))

@@ -1,5 +1,18 @@
-"""Gradient tests: autodiff vs finite differences (BASELINE: rtol 1e-4-ish;
-f32 finite differences warrant a looser practical tolerance)."""
+"""Gradient tests to BASELINE spec.
+
+BASELINE.md asks gradient allclose "rtol 1e-4 vs CPU reference".  The whole
+forward pass is float32 (TPU-native; SURVEY.md §7 numerics), so a finite-
+difference oracle built from f32 loss evaluations carries ~1e-7|f|/h noise;
+rtol 1e-4 is below that floor.  The oracle here is therefore
+Richardson-extrapolated central differences (two step sizes, O(h^4)
+truncation) with a smoothness gate — entries where the two central
+estimates disagree (silhouette jumps, FD noise) are skipped, and the
+remaining entries are asserted at **rtol 1e-3**, the f32-realistic bound
+(VERDICT r1 item 4).  Backend-grad equivalence is asserted much tighter:
+every traversal backend returns the same integer hit ids, and the surface
+resolver recomputes all continuous quantities from the scene arrays, so
+grads through brute / wide / pallas must agree to f32 roundoff.
+"""
 
 import jax
 import jax.numpy as jnp
@@ -24,77 +37,120 @@ CFG = RenderConfig(width=24, height=24, primary_rays=1, shadow_rays=1,
                    shadow_ray_margin=0.02)
 
 
+def richardson_check(loss_fn, base, entries, grad, h, rtol=1e-3,
+                     min_checked=3):
+    """Assert autodiff grad entries against Richardson-extrapolated central
+    differences.  Returns how many entries passed the smoothness gate.
+
+    Gate: the h and h/2 central estimates must agree to 0.5% — entries where
+    they don't are non-smooth (discrete hit changes) or noise-dominated, and
+    no FD oracle is valid there."""
+    base = np.asarray(base, np.float64)
+    checked = 0
+    for idx in entries:
+        def f(delta):
+            pert = base.copy()
+            pert[idx] += delta
+            return float(loss_fn(jnp.asarray(pert, jnp.float32)))
+
+        d_h = (f(h) - f(-h)) / (2.0 * h)
+        d_h2 = (f(h / 2) - f(-h / 2)) / h
+        dr = (4.0 * d_h2 - d_h) / 3.0
+        if abs(d_h - d_h2) > max(5e-3 * abs(dr), 2e-6):
+            continue
+        if abs(dr) < 1e-6 and abs(float(grad[idx])) < 1e-6:
+            checked += 1
+            continue
+        np.testing.assert_allclose(float(grad[idx]), dr, rtol=rtol, atol=2e-6,
+                                   err_msg=f"entry {idx}")
+        checked += 1
+    assert checked >= min_checked, (
+        f"only {checked} entries passed the smoothness gate")
+    return checked
+
+
 class TestGradients:
-    def test_albedo_grad_matches_fd(self):
+    def test_albedo_grad_richardson(self):
         gpu, o, d, seed = _setup(scenes.cornell_box(), CFG)
         target = jnp.zeros((o.shape[0], 3), jnp.float32)
 
         def loss(color):
-            return radiance_loss({"obj_color": color}, gpu, CFG, o, d, seed, target)
+            return radiance_loss({"obj_color": color}, gpu, CFG, o, d, seed,
+                                 target)
 
-        g = jax.grad(loss)(gpu.obj_color)
-        g = np.asarray(g)
-        # Finite differences on a few entries.
+        g = np.asarray(jax.grad(loss)(gpu.obj_color), np.float64)
         rng = np.random.default_rng(0)
-        base = np.asarray(gpu.obj_color)
-        f0 = float(loss(gpu.obj_color))
-        checked = 0
-        for _ in range(6):
-            i = rng.integers(0, base.shape[0])
-            j = rng.integers(0, 3)
-            eps = 1e-3
-            pert = base.copy()
-            pert[i, j] += eps
-            f1 = float(loss(jnp.asarray(pert)))
-            fd = (f1 - f0) / eps
-            if abs(fd) < 1e-6 and abs(g[i, j]) < 1e-6:
-                continue
-            np.testing.assert_allclose(g[i, j], fd, rtol=0.05, atol=1e-5)
-            checked += 1
-        assert checked >= 2
+        n_obj = gpu.obj_color.shape[0]
+        entries = [(int(rng.integers(0, n_obj)), int(rng.integers(0, 3)))
+                   for _ in range(10)]
+        richardson_check(loss, gpu.obj_color, entries, g, h=4e-3,
+                         rtol=1e-3, min_checked=4)
 
-    def test_light_intensity_grad(self):
+    def test_light_intensity_grad_richardson(self):
         gpu, o, d, seed = _setup(scenes.cornell_box(), CFG)
         target = jnp.zeros((o.shape[0], 3), jnp.float32)
 
         def loss(inten):
-            return radiance_loss({"lt_intensity": inten}, gpu, CFG, o, d, seed, target)
+            return radiance_loss({"lt_intensity": inten}, gpu, CFG, o, d,
+                                 seed, target)
 
-        g = np.asarray(jax.grad(loss)(gpu.lt_intensity))
-        eps = 1e-3
-        f0 = float(loss(gpu.lt_intensity))
-        f1 = float(loss(gpu.lt_intensity + eps))
-        fd = (f1 - f0) / (eps * 1)  # both entries perturbed -> sum of grads
-        np.testing.assert_allclose(g.sum(), fd, rtol=0.05)
+        g = np.asarray(jax.grad(loss)(gpu.lt_intensity), np.float64)
+        entries = [(i,) for i in range(gpu.lt_intensity.shape[0])]
+        richardson_check(loss, gpu.lt_intensity, entries, g, h=2e-3,
+                         rtol=1e-3, min_checked=1)
 
-    def test_vertex_grad_flows(self):
+    def test_vertex_grad_values(self):
+        """Vertex gradients VALUE-checked against the Richardson oracle (not
+        just finite/nonzero): geometry grads flow through the differentiable
+        surface recompute (render/surface.py)."""
         gpu, o, d, seed = _setup(scenes.sphere_plane(), CFG)
         target = jnp.full((o.shape[0], 3), 0.1, jnp.float32)
 
         def loss(verts):
-            return radiance_loss({"vertices": verts}, gpu, CFG, o, d, seed, target)
+            return radiance_loss({"vertices": verts}, gpu, CFG, o, d, seed,
+                                 target)
 
-        g = np.asarray(jax.grad(loss)(gpu.vertices))
+        g = np.asarray(jax.grad(loss)(gpu.vertices), np.float64)
         assert np.isfinite(g).all()
-        assert np.abs(g).max() > 0.0
+        # Rank vertex coords by |grad| and FD-check the most influential
+        # ones; the smoothness gate drops silhouette-jump entries where no
+        # FD oracle exists (the discrete hit change is not differentiable).
+        flat = np.argsort(-np.abs(g).ravel())[:12]
+        entries = [tuple(np.unravel_index(i, g.shape)) for i in flat]
+        richardson_check(loss, gpu.vertices, entries, g, h=2e-3,
+                         rtol=1e-3, min_checked=3)
 
-    def test_grad_finite_through_bvh_backend(self):
-        # 500-tri scene forces the BVH path; grads must stay finite and
-        # flow to materials through the straight-through hit recompute.
-        cfg = CFG.replace(use_bvh=True)
+    @pytest.mark.parametrize("kind", ["wide", "pallas"])
+    def test_backend_grad_equivalence(self, kind):
+        """Grads through the BVH backends must match the brute backend's:
+        all backends return identical hit ids and the continuous quantities
+        are recomputed outside the backend, so agreement is f32-roundoff
+        tight (far tighter than any FD oracle)."""
         scene = scenes.procedural_mesh(500, sun=True)
         gpu = scene.compile(bvh_threshold=0)
-        frame = scene.camera.viewport_frame(cfg.width, cfg.height)
-        o, d = generate_rays(frame, cfg.width, cfg.height, jitter=False)
+        cfg_b = CFG.replace(use_bvh=True, backend="brute", width=16, height=16)
+        cfg_k = cfg_b.replace(backend=kind)
+        frame = scene.camera.viewport_frame(cfg_b.width, cfg_b.height)
+        o, d = generate_rays(frame, cfg_b.width, cfg_b.height, jitter=False)
         seed = jnp.arange(o.shape[0], dtype=jnp.uint32)
         target = jnp.zeros((o.shape[0], 3), jnp.float32)
 
-        g = jax.grad(
-            lambda c: radiance_loss({"obj_color": c}, gpu, cfg, o, d, seed, target)
-        )(gpu.obj_color)
-        g = np.asarray(g)
-        assert np.isfinite(g).all()
-        assert np.abs(g).sum() > 0
+        def grads(cfg):
+            def loss(params):
+                return radiance_loss(params, gpu, cfg, o, d, seed, target)
+
+            return jax.grad(loss)({"obj_color": gpu.obj_color,
+                                   "vertices": gpu.vertices})
+
+        g_brute = grads(cfg_b)
+        g_kind = grads(cfg_k)
+        for name in ("obj_color", "vertices"):
+            a = np.asarray(g_brute[name])
+            b = np.asarray(g_kind[name])
+            np.testing.assert_allclose(b, a, rtol=2e-5, atol=1e-7,
+                                       err_msg=f"{kind} vs brute: {name}")
+        assert np.abs(np.asarray(g_brute["obj_color"])).sum() > 0
+        assert np.abs(np.asarray(g_brute["vertices"])).sum() > 0
 
 
 class TestOptimization:
