@@ -48,6 +48,30 @@ def to_linear(x, gamma=2.2):
     return np.power(np.maximum(x, 0.0), gamma)
 
 
+def tonemap_np(x, mode, gamma=2.2):
+    """NumPy twin of ops/tonemap.tonemap: 'aces', 'lut', or 'none'.
+
+    The 'lut' path builds the identical 1024-entry ACES+gamma table
+    (ops/tonemap.build_tonemap_lut — already NumPy) and applies the same
+    linear interpolation, so the BASELINE config-3 LUT-tonemap pipeline is
+    golden-comparable."""
+    if mode == "aces":
+        return to_srgb(aces(x), gamma)
+    if mode == "lut":
+        from realtimeraytracer_tpu.ops.tonemap import build_tonemap_lut
+
+        lut = build_tonemap_lut(gamma=gamma)
+        n = lut.shape[0]
+        max_input = 8.0
+        pos = np.clip(x, 0.0, max_input) * ((n - 1) / max_input)
+        i0 = np.clip(pos.astype(np.int32), 0, n - 2)
+        frac = (pos - i0).astype(np.float32)
+        return lut[i0] * (1.0 - frac) + lut[i0 + 1] * frac
+    if mode == "none":
+        return x
+    raise ValueError(f"unknown tonemap mode {mode!r}")
+
+
 def _bilinear(img, u, v, wrap=True):
     h, w = img.shape[:2]
     x = u * w - 0.5
@@ -74,6 +98,11 @@ def _bilinear(img, u, v, wrap=True):
 def closest_hit(o, d, verts, faces, sph_c, sph_r, t_min, t_max):
     """Brute-force closest hit. Returns (t, prim, u, v); prim -1 on miss,
     sphere prims offset by len(faces)."""
+    # Force f32: float64 inputs would make the f64 miss sentinel 3e38
+    # compare LESS than the f32 init (f32(3e38) rounds up), turning every
+    # miss into a fake hit of the argmin prim.
+    o = np.asarray(o, np.float32)
+    d = np.asarray(d, np.float32)
     R = o.shape[0]
     best_t = np.full(R, 3e38, np.float32)
     best_p = np.full(R, -1, np.int64)
@@ -313,7 +342,7 @@ def render_reference(scene: Scene, cfg, frame_index: int = 0,
         nrm_acc += nn; pos_acc += pp
 
     inv = 1.0 / cfg.primary_rays
-    tm = lambda x: to_srgb(aces(x * inv)) if cfg.tonemap == "aces" else x * inv
+    tm = lambda x: tonemap_np(x * inv, cfg.tonemap, cfg.gamma)
     comp = {
         "analytic": tm(analytic).reshape(h, w, 3),
         "shadowed": tm(shadowed).reshape(h, w, 3),
@@ -333,10 +362,12 @@ def render_reference(scene: Scene, cfg, frame_index: int = 0,
     return final
 
 
-def _shade(g, cfg, o, d, pixel_seed, sample_index):
-    R = o.shape[0]
+def _surface_np(g, cfg, o, d, t, prim, bu, bv):
+    """HitRecord -> shading attributes (NumPy twin of render/surface.py).
+
+    Returns a dict {miss, hit_light, valid, p, n, uv, obj, albedo, rough,
+    metal, emit} where emit is the miss-env + light-hit radiance term."""
     verts, faces = g["vertices"], g["faces"]
-    t, prim, bu, bv = trace_closest(g, cfg, o, d, cfg.t_min, cfg.t_max)
     miss = prim < 0
     nt = len(faces)
     is_tri = (prim >= 0) & (prim < nt)
@@ -399,18 +430,34 @@ def _shade(g, cfg, o, d, pixel_seed, sample_index):
         c10 = atlas[tid2, yi1, xi0]; c11 = atlas[tid2, yi1, xi1]
         return (c00 * (1 - fx) + c01 * fx) * (1 - fy) + (c10 * (1 - fx) + c11 * fx) * fy
 
-    if (tex[:, 0] >= 0).any():
+    if len(atlas) and (tex[:, 0] >= 0).any():
         color = np.where((tex[:, 0] >= 0)[:, None], tex_fetch(0)[:, :3], color)
-    if (tex[:, 1] >= 0).any():
+    if len(atlas) and (tex[:, 1] >= 0).any():
         spec = np.where(tex[:, 1] >= 0, tex_fetch(1)[:, 0], spec)
-    if (tex[:, 2] >= 0).any():
+    if len(atlas) and (tex[:, 2] >= 0).any():
         metal = np.where(tex[:, 2] >= 0, tex_fetch(2)[:, 0], metal)
 
     albedo = to_linear(color)
     rough = 1.0 - spec
 
-    base = np.where(miss[:, None], env, 0) + np.where(
+    # Emitters use the raw material color, never texture overrides
+    # (closesthit.rchit:46-50 parity; mirrors render/surface.py).
+    emit = np.where(miss[:, None], env, 0) + np.where(
         hit_light[:, None], g["obj_color"][obj], 0)
+
+    return dict(miss=miss, hit_light=hit_light, valid=valid, p=p, n=n,
+                uv=uv, obj=obj, albedo=albedo, rough=rough, metal=metal,
+                emit=emit)
+
+
+def _shade(g, cfg, o, d, pixel_seed, sample_index):
+    R = o.shape[0]
+    t, prim, bu, bv = trace_closest(g, cfg, o, d, cfg.t_min, cfg.t_max)
+    s = _surface_np(g, cfg, o, d, t, prim, bu, bv)
+    miss, hit_light, valid = s["miss"], s["hit_light"], s["valid"]
+    p, n, albedo, rough, metal = (s["p"], s["n"], s["albedo"], s["rough"],
+                                  s["metal"])
+    base = s["emit"]
 
     view = _norm(o - p)
     m_diff = (1 - metal[:, None]) * albedo
@@ -534,3 +581,188 @@ def atrous_np(color, normal, position, step, c_phi, n_phi, p_phi):
             acc += cs * wgt
             cum += wgt
     return acc / np.maximum(cum, 1e-5)
+
+
+# ---------------------------------------------------------------------------
+# multi-bounce wavefront reference (render/wavefront.py twin)
+# ---------------------------------------------------------------------------
+# Written from the same parity sources (phong.rchit:255-288 recursive
+# reflection, cook-torrance.glsl:21-42 sampleGGX) with the shared
+# counter-based RNG, so render_wavefront and this agree bit-for-bit in
+# sampling decisions — the BASELINE config-4 golden oracle.
+
+def sample_ggx_np(n, v, rough, r1, r2):
+    a = rough * rough
+    phi = 2.0 * PI * r1
+    cos_t = np.sqrt((1.0 - r2) / (1.0 + (a * a - 1.0) * r2))
+    sin_t = np.sqrt(np.maximum(1.0 - cos_t * cos_t, 0.0))
+    hx = np.cos(phi) * sin_t
+    hy = np.sin(phi) * sin_t
+    t = _norm(v - n * _dot(n, v)[..., None])
+    b = np.cross(n, t)
+    halfway = _norm(hx[..., None] * t + hy[..., None] * b
+                    + cos_t[..., None] * n)
+    return 2.0 * _dot(v, halfway)[..., None] * halfway - v
+
+
+def cosine_hemisphere_np(n, r1, r2):
+    phi = 2.0 * PI * r1
+    cos_t = np.sqrt(1.0 - r2)
+    sin_t = np.sqrt(r2)
+    # np.where with two python floats yields float64 and would promote the
+    # whole ray state (the f32 miss sentinel then misbehaves); stay f32.
+    sign = np.where(n[..., 2] >= 0.0, np.float32(1.0), np.float32(-1.0))
+    a = -1.0 / (sign + n[..., 2])
+    bvec = n[..., 0] * n[..., 1] * a
+    t = np.stack([1.0 + sign * n[..., 0] * n[..., 0] * a, sign * bvec,
+                  -sign * n[..., 0]], axis=-1)
+    b = np.stack([bvec, sign + n[..., 1] * n[..., 1] * a, -n[..., 1]], axis=-1)
+    d = ((np.cos(phi) * sin_t)[..., None] * t
+         + (np.sin(phi) * sin_t)[..., None] * b
+         + cos_t[..., None] * n)
+    return _norm(d)
+
+
+def _sample_one_light_np(g, cfg, p, n, view, albedo, rough, metal, seed):
+    """NEE: one uniform sample on one uniformly-chosen light triangle
+    (+ the sun) — mirror of wavefront._sample_one_light."""
+    from realtimeraytracer_tpu.ops.rng import hash_u32_np
+
+    R = p.shape[0]
+    lt = len(g["lt_v0"])
+    lam = (1.0 - metal[:, None]) * albedo / PI
+    f0 = 0.04 * (1.0 - metal[:, None]) + albedo * metal[:, None]
+
+    li = (hash_u32_np(seed + np.uint64(7777)) % np.uint32(lt)).astype(np.int64)
+    p0, p1, p2 = g["lt_v0"][li], g["lt_v1"][li], g["lt_v2"][li]
+    lcol = g["lt_color"][li]
+    lint = g["lt_intensity"][li][:, None]
+    valid_l = g["lt_valid"][li]
+    two = g["lt_two_sided"][li]
+
+    r1 = uniform_np(seed + np.uint64(31))
+    r2 = uniform_np(seed + np.uint64(131))
+    over = r1 + r2 > 1.0
+    r1 = np.where(over, 1.0 - r1, r1)
+    r2 = np.where(over, 1.0 - r2, r2)
+    lpos = p0 + r1[:, None] * (p1 - p0) + r2[:, None] * (p2 - p0)
+
+    nl = np.cross(p2 - p1, p0 - p1)
+    area = np.sqrt(np.maximum(_dot(nl, nl), 1e-20)) * 0.5
+    nlu = _norm(nl)
+    front = _dot(nlu, p - p0) >= 0.0
+    active = valid_l & (two | front)
+
+    delta = lpos - p
+    dist = np.sqrt(np.maximum(_dot(delta, delta), 1e-20))
+    ldir = delta / dist[:, None]
+    so = p + n * cfg.shadow_origin_offset
+    occ = trace_occluded(g, cfg, so.astype(np.float32), ldir.astype(np.float32),
+                         cfg.t_min, dist - cfg.shadow_ray_margin)
+
+    ndotl = np.maximum(_dot(n, ldir), 0.0)
+    cos_on_light = np.abs(_dot(nlu, -ldir))
+    pdf_sa = (dist * dist) / np.maximum(area * lt * cos_on_light, 1e-8)
+    spec = ct_spec(view, ldir, n, rough, f0, min_nv=1e-3, min_nl=1e-3)
+    brdf = spec + lam
+    radiance = lcol * lint * cfg.sampled_gain
+    contrib = brdf * radiance * (ndotl / np.maximum(pdf_sa, 1e-8))[:, None]
+    contrib = np.where((active & ~occ & (ndotl > 0))[:, None], contrib, 0.0)
+
+    sd = g["sun_direction"]
+    sun_nl = _dot(n, sd[None])
+    sun_occ = trace_occluded(g, cfg, so.astype(np.float32),
+                             np.broadcast_to(sd, (R, 3)).astype(np.float32),
+                             cfg.t_min, np.full(R, cfg.t_max))
+    sun_spec = ct_spec(view, np.broadcast_to(sd, (R, 3)), n, rough, f0,
+                       min_nv=1e-3, min_nl=1e-3)
+    sun_c = ((sun_spec + lam) * g["sun_color"][None] * g["sun_intensity"]
+             * cfg.sun_gain * np.maximum(sun_nl, 0.0)[:, None])
+    contrib = contrib + np.where(
+        ((sun_nl > 0) & ~sun_occ)[:, None] & (g["sun_intensity"] > 0),
+        sun_c, 0.0)
+    return contrib
+
+
+def trace_paths_np(g, cfg, o, d, pixel_seed, sample_index=0):
+    """One spp of full multi-bounce paths (wavefront.trace_paths twin)."""
+    origins, dirs = o, d
+    throughput = np.ones_like(o)
+    radiance = np.zeros_like(o)
+    alive = np.ones(o.shape[0], bool)
+
+    for bounce in range(cfg.max_bounces + 1):
+        bseed = (pixel_seed + np.uint64(bounce * 9176)
+                 + np.uint64(sample_index * 15485863))
+        t, prim, bu, bv = trace_closest(g, cfg, origins, dirs,
+                                        cfg.t_min, cfg.t_max)
+        s = _surface_np(g, cfg, origins, dirs, t, prim, bu, bv)
+        radiance = radiance + np.where(alive[:, None],
+                                       throughput * s["emit"], 0.0)
+        still = alive & s["valid"]
+        if bounce == cfg.max_bounces:
+            break
+
+        view = -dirs
+        nee = _sample_one_light_np(g, cfg, s["p"], s["n"], view, s["albedo"],
+                                   s["rough"], s["metal"], bseed)
+        radiance = radiance + np.where(still[:, None], throughput * nee, 0.0)
+
+        f0 = 0.04 * (1.0 - s["metal"][:, None]) + s["albedo"] * s["metal"][:, None]
+        p_spec = np.clip(s["metal"] + (1.0 - s["rough"]) * 0.5, 0.05, 0.95)
+        u_lobe = uniform_np(bseed + np.uint64(555))
+        r1 = uniform_np(bseed + np.uint64(667))
+        r2 = uniform_np(bseed + np.uint64(787))
+        d_spec = sample_ggx_np(s["n"], view, np.maximum(s["rough"], 0.03),
+                               r1, r2)
+        d_diff = cosine_hemisphere_np(s["n"], r1, r2)
+        choose_spec = u_lobe < p_spec
+        new_dir = _norm(np.where(choose_spec[:, None], d_spec, d_diff))
+        ndotl = _dot(s["n"], new_dir)
+        going_up = ndotl > 1e-4
+
+        weight = np.where(
+            choose_spec[:, None],
+            f0 / np.maximum(p_spec, 1e-3)[:, None],
+            s["albedo"] * (1.0 - s["metal"][:, None])
+            / np.maximum(1.0 - p_spec, 1e-3)[:, None])
+        origins = s["p"] + s["n"] * cfg.shadow_origin_offset
+        dirs = new_dir
+        throughput = throughput * np.where(still[:, None], weight, 1.0)
+        alive = still & going_up
+    return radiance
+
+
+def render_wavefront_reference(scene: Scene, cfg, frame_index: int = 0):
+    """Multi-bounce render -> tonemapped (H, W, 3); render_wavefront twin."""
+    if getattr(cfg, "alpha_test", None) is None:
+        cfg = cfg.replace(alpha_test=any(
+            m.material.opacity_map is not None for m in scene.meshes))
+    gpu = scene.compile()
+    g = {k: np.asarray(v) for k, v in gpu._asdict().items()}
+    h, w = cfg.height, cfg.width
+    fr = scene.camera.viewport_frame_np(w, h)
+    pos, top_left, h_delta, v_delta = (x.astype(np.float64) for x in fr)
+
+    px, py = np.meshgrid(np.arange(w), np.arange(h))
+    pixel_seed = (px.astype(np.uint64) * 733 + py.astype(np.uint64) * 1933
+                  + np.uint64(frame_index)).reshape(-1)
+
+    acc = np.zeros((h * w, 3), np.float32)
+    for s in range(cfg.primary_rays):
+        if cfg.jitter:
+            base = (py.astype(np.uint64) * w + px.astype(np.uint64)).reshape(-1)
+            jx = uniform_np(base + np.uint64(s))
+            jy = uniform_np(base + np.uint64(s) * np.uint64(322) + np.uint64(7919))
+        else:
+            jx = jy = 0.5
+        ox = px.reshape(-1) + jx - 0.5
+        oy = py.reshape(-1) + jy - 0.5
+        world = (top_left[None] + ox[:, None] * h_delta[None]
+                 + oy[:, None] * v_delta[None])
+        d = _norm(world - pos[None]).astype(np.float32)
+        o = np.broadcast_to(pos.astype(np.float32), d.shape)
+        acc += trace_paths_np(g, cfg, o, d, pixel_seed, s)
+
+    img = tonemap_np(acc / cfg.primary_rays, cfg.tonemap, cfg.gamma)
+    return img.reshape(h, w, 3)

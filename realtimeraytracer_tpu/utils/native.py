@@ -142,8 +142,11 @@ class NativeObj:
 
     def arrays(self):
         lib, h = self._lib, self._h
-        np_from = lambda ptr, n, dt: np.ctypeslib.as_array(
-            ptr(h), shape=(n,)).astype(dt, copy=True)
+        # n == 0 => the C++ vector's data() may be NULL; as_array would
+        # raise "NULL pointer access" (OBJ files with no vt/vn hit this).
+        np_from = lambda ptr, n, dt: (
+            np.empty((0,), dt) if n == 0 else np.ctypeslib.as_array(
+                ptr(h), shape=(n,)).astype(dt, copy=True))
         npos = lib.obj_num_positions(h)
         ntex = lib.obj_num_texcoords(h)
         nnrm = lib.obj_num_normals(h)
