@@ -86,6 +86,12 @@ class RenderConfig:
     # Ray ordering fed to the trace backends: "block" groups rays into
     # coherent 2-D pixel blocks (tight tile frusta); "raster" is row-major.
     ray_order: str = "block"
+    # Runtime traversal-cap saturation detection: when True, capped
+    # backends (wide/lane) print a loud warning whenever
+    # max_cluster_visits / max_traversal_steps clips unfinished work
+    # (render/diagnostics.py); stats are also queryable via
+    # diagnostics.diagnose_traversal.
+    debug_traversal: bool = False
 
     # Ray-batch tile size for wavefront/pallas paths (rays per tile).
     tile_rays: int = 8192

@@ -19,7 +19,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from realtimeraytracer_tpu.ops.texture import sample_bilinear
+from realtimeraytracer_tpu.ops.texture import (
+    pack_bilinear_neighbors, sample_bilinear_packed)
 from realtimeraytracer_tpu.ops.vecmath import cross, dot, normalize
 
 LUT_SIZE = 64.0
@@ -73,7 +74,9 @@ def fetch_ltc_params(ltc1: jnp.ndarray, ltc2: jnp.ndarray,
     if fast:
         t = sample_nearest(upsample4(both), u, v)
     else:
-        t = sample_bilinear(both, u, v, wrap=False)
+        # Neighborhood-packed bilinear: ONE R-sized gather instead of four
+        # (exact; the pack is a tiny static shuffle XLA hoists/CSEs).
+        t = sample_bilinear_packed(pack_bilinear_neighbors(both), u, v)
     t1, t2 = t[..., 0:4], t[..., 4:8]
     # Minv is sparse — GLSL mat3(vec3(a,0,b), vec3(0,1,0), vec3(c,0,d)),
     # i.e. rows [[a,0,c],[0,1,0],[b,0,d]].  Return the 4 scalars instead of
@@ -160,7 +163,9 @@ def ltc_evaluate(
     if fast:
         scale = sample_nearest(upsample4(ltc2), u, v)[..., 3]
     else:
-        scale = sample_bilinear(ltc2, u, v, wrap=False)[..., 3]
+        # One-gather bilinear of just the .w channel (packed 2x2 footprint).
+        scale = sample_bilinear_packed(
+            pack_bilinear_neighbors(ltc2[..., 3:4]), u, v)[..., 0]
 
     total = length * scale
     total = jnp.where(jnp.logical_and(~behind, ~two_sided), 0.0, total)

@@ -54,6 +54,57 @@ def sample_bilinear(image: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
     return top * (1.0 - fy) + bot * fy
 
 
+def pack_bilinear_neighbors(image: jnp.ndarray, wrap: bool = False) -> jnp.ndarray:
+    """(H, W, C) -> (H, W, 4C) where each texel carries its 2x2 bilinear
+    footprint [c00 | c01 | c10 | c11].
+
+    TPU gathers cost ~10-40 ms per 2M rays REGARDLESS of row width
+    (PERF.md), so one wide gather from the packed table replaces
+    sample_bilinear's four — bit-identical results for in-range coords
+    (LUT coords never floor below 0, and at the top edge the x+1/y+1
+    mismatch is multiplied by a zero fraction).  The pack itself is four
+    shifts of a tiny table — negligible next to one R-sized gather.
+    """
+    if wrap:
+        right = jnp.roll(image, -1, axis=1)
+        down = jnp.roll(image, -1, axis=0)
+        diag = jnp.roll(down, -1, axis=1)
+    else:
+        right = jnp.concatenate([image[:, 1:], image[:, -1:]], axis=1)
+        down = jnp.concatenate([image[1:], image[-1:]], axis=0)
+        diag = jnp.concatenate([down[:, 1:], down[:, -1:]], axis=1)
+    return jnp.concatenate([image, right, down, diag], axis=-1)
+
+
+def sample_bilinear_packed(packed: jnp.ndarray, u: jnp.ndarray,
+                           v: jnp.ndarray, wrap: bool = False) -> jnp.ndarray:
+    """Bilinear sample from a pack_bilinear_neighbors table: ONE gather.
+
+    Matches sample_bilinear's math exactly (same lerp order)."""
+    h, w = packed.shape[0], packed.shape[1]
+    c = packed.shape[2] // 4
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+    if wrap:
+        xi0 = _wrap(x0, w)
+        yi0 = _wrap(y0, h)
+    else:
+        xi0 = jnp.clip(x0, 0, w - 1)
+        yi0 = jnp.clip(y0, 0, h - 1)
+    g = packed[yi0, xi0]                      # (..., 4C) one gather
+    c00, c01 = g[..., 0:c], g[..., c:2 * c]
+    c10, c11 = g[..., 2 * c:3 * c], g[..., 3 * c:4 * c]
+    top = c00 * (1.0 - fx) + c01 * fx
+    bot = c10 * (1.0 - fx) + c11 * fx
+    return top * (1.0 - fy) + bot * fy
+
+
 def sample_atlas(atlas: jnp.ndarray, sizes: jnp.ndarray, tex_id: jnp.ndarray,
                  u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """Sample a padded (T, S, S, 4) atlas at per-ray (tex_id, u, v).

@@ -114,6 +114,11 @@ def make_backend(gpu: GPUScene, cfg: RenderConfig) -> TraceBackend:
         backend = make_bruteforce_backend(gpu, cfg)
     else:
         raise ValueError(f"unknown backend {cfg.backend!r}")
+    if cfg.debug_traversal:
+        from realtimeraytracer_tpu.render.diagnostics import (
+            wrap_backend_with_debug)
+
+        backend = wrap_backend_with_debug(backend, gpu, cfg)
     if cfg.alpha_test:
         from realtimeraytracer_tpu.render.alpha import wrap_backend_with_alpha
 

@@ -64,7 +64,7 @@ def _leaf_test(gpu: GPUScene, leaf_first, leaf_count, o, d, leaf_size,
 
 
 def traverse_closest(gpu: GPUScene, cfg: RenderConfig, origins, dirs,
-                     t_min, t_max) -> HitRecord:
+                     t_min, t_max, return_stats: bool = False):
     R = origins.shape[0]
     N = gpu.bvh_node_min.shape[0]
     leaf_size = max(cfg.bvh_leaf_size, 1)  # must match the compile-time build
@@ -114,14 +114,21 @@ def traverse_closest(gpu: GPUScene, cfg: RenderConfig, origins, dirs,
         zero_r,
         jnp.int32(0),
     )
-    node, best_t, best_p, best_u, best_v, _ = jax.lax.while_loop(cond, body, init)
+    node, best_t, best_p, best_u, best_v, steps = jax.lax.while_loop(
+        cond, body, init)
     # Map sorted ids back to original triangle ids for the soup tables.
     orig = jnp.where(best_p >= 0, gpu.bvh_tri_id[jnp.clip(best_p, 0, None)], -1)
-    return HitRecord(t=best_t, prim_id=orig.astype(jnp.int32), u=best_u, v=best_v)
+    hit = HitRecord(t=best_t, prim_id=orig.astype(jnp.int32), u=best_u, v=best_v)
+    if return_stats:
+        # Lanes still inside the tree (node < N) at exit were clipped by
+        # max_traversal_steps — their hits may be silently wrong.
+        return hit, {"cap_clipped": jnp.sum((node < N).astype(jnp.int32)),
+                     "steps": steps, "cap": cfg.max_traversal_steps}
+    return hit
 
 
 def traverse_occluded(gpu: GPUScene, cfg: RenderConfig, origins, dirs,
-                      t_min, t_max) -> jnp.ndarray:
+                      t_min, t_max, return_stats: bool = False):
     """Any-hit query with per-lane early termination."""
     R = origins.shape[0]
     N = gpu.bvh_node_min.shape[0]
@@ -161,7 +168,10 @@ def traverse_occluded(gpu: GPUScene, cfg: RenderConfig, origins, dirs,
 
     zero_r = jnp.zeros_like(origins[:, 0])
     init = (zero_r.astype(jnp.int32), zero_r.astype(bool), jnp.int32(0))
-    _, occ, _ = jax.lax.while_loop(cond, body, init)
+    node, occ, steps = jax.lax.while_loop(cond, body, init)
+    if return_stats:
+        return occ, {"cap_clipped": jnp.sum((node < N).astype(jnp.int32)),
+                     "steps": steps, "cap": cfg.max_traversal_steps}
     return occ
 
 

