@@ -83,8 +83,18 @@ def main() -> None:
     t0 = time.perf_counter()
     outs = [trace(gpu, frame, samples[i % 16]) for i in range(iters)]
     jax.block_until_ready(outs)
-    median = (time.perf_counter() - t0) / iters
-    rays_per_s = n_rays / median
+    mean_pipelined = (time.perf_counter() - t0) / iters
+    rays_per_s = n_rays / mean_pipelined
+
+    # Per-call synced latency (median), for apples-to-apples cross-commit
+    # latency comparisons; through the axon tunnel this includes ~22 ms of
+    # host<->device round trip, so throughput above is the headline.
+    lat = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(trace(gpu, frame, samples[i]))
+        lat.append(time.perf_counter() - t0)
+    latency_ms = sorted(lat)[len(lat) // 2] * 1e3
 
     baseline = 1e9
     print(json.dumps({
@@ -94,7 +104,9 @@ def main() -> None:
         "vs_baseline": rays_per_s / baseline,
         "detail": {
             "tris": num_tris, "resolution": f"{width}x{height}",
-            "median_trace_ms": median * 1e3, "compile_s": compile_s,
+            "mean_pipelined_trace_ms": mean_pipelined * 1e3,
+            "synced_latency_ms": latency_ms,
+            "compile_s": compile_s,
             "hit_fraction": hit_frac,
             "device": str(jax.devices()[0]),
         },

@@ -88,6 +88,16 @@ class GPUScene(NamedTuple):
     pallas_cl_min: jnp.ndarray | None = None   # (C, 3) f32
     pallas_cl_max: jnp.ndarray | None = None   # (C, 3) f32
 
+    # --- instance-transform support (ops/refit.py; TLAS::updateTransform/
+    # refit parity, tlas.cppm:151-207): per-vertex / per-light-tri object
+    # ids so a (O, 4, 4) transform table can be applied fully in-graph,
+    # plus per-BVH-node sorted-triangle subtree ranges for the device-side
+    # AABB refit. ---------------------------------------------------------
+    vert_obj: jnp.ndarray | None = None        # (V,) i32
+    lt_obj: jnp.ndarray | None = None          # (LT,) i32
+    bvh_node_tri_start: jnp.ndarray | None = None  # (N,) i32
+    bvh_node_tri_end: jnp.ndarray | None = None    # (N,) i32
+
     @property
     def has_bvh(self) -> bool:
         return self.bvh_node_min.shape[0] > 1

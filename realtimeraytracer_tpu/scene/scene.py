@@ -95,9 +95,10 @@ class Scene:
                 bvh_threshold: int = 64) -> GPUScene:
         """Compile to a GPUScene. Builds the LBVH when the soup exceeds
         bvh_threshold triangles (brute force wins below that)."""
-        verts, norms, uvs, faces, face_obj = [], [], [], [], []
+        verts, norms, uvs, faces, face_obj, vert_obj = [], [], [], [], [], []
         obj_rows: list[tuple] = []
-        lt_v0, lt_v1, lt_v2, lt_col, lt_int, lt_two = [], [], [], [], [], []
+        lt_v0, lt_v1, lt_v2, lt_col, lt_int, lt_two, lt_obj = \
+            [], [], [], [], [], [], []
 
         vtx_base = 0
 
@@ -110,6 +111,7 @@ class Scene:
             uvs.append(mesh.uvs.astype(np.float32))
             faces.append(mesh.faces.astype(np.int32) + vtx_base)
             face_obj.append(np.full(len(mesh.faces), obj_id, np.int32))
+            vert_obj.append(np.full(len(v), obj_id, np.int32))
             vtx_base += len(v)
             return v
 
@@ -146,6 +148,7 @@ class Scene:
             lt_col.append(np.tile(np.asarray(light.color, np.float32), (len(f), 1)))
             lt_int.append(np.full(len(f), light.intensity, np.float32))
             lt_two.append(np.full(len(f), bool(light.two_sided)))
+            lt_obj.append(np.full(len(f), obj_id, np.int32))
 
         for mesh in self.meshes:
             obj_id = len(obj_rows)
@@ -171,6 +174,7 @@ class Scene:
         uv_arr = cat(uvs, (0, 2))
         faces_arr = cat(faces, (0, 3), np.int32)
         face_obj_arr = cat(face_obj, (0,), np.int32)
+        vert_obj_arr = cat(vert_obj, (0,), np.int32)
 
         if len(faces_arr) == 0:
             # Sphere-only / empty scenes: pad one degenerate triangle so no
@@ -181,6 +185,7 @@ class Scene:
             uv_arr = np.zeros((3, 2), np.float32)
             faces_arr = np.array([[0, 1, 2]], np.int32)
             face_obj_arr = np.zeros(1, np.int32)
+            vert_obj_arr = np.zeros(3, np.int32)
 
         if obj_rows:
             oc = np.stack([r[0] for r in obj_rows])
@@ -197,6 +202,7 @@ class Scene:
         if n_lt:
             ltv0 = cat(lt_v0, (0, 3)); ltv1 = cat(lt_v1, (0, 3)); ltv2 = cat(lt_v2, (0, 3))
             ltc = cat(lt_col, (0, 3)); lti = cat(lt_int, (0,)); ltt = cat(lt_two, (0,), bool)
+            lto = cat(lt_obj, (0,), np.int32)
             ltvld = np.ones(n_lt, bool)
         else:
             # One padded invalid entry keeps all shapes non-zero (vectorized
@@ -204,6 +210,7 @@ class Scene:
             ltv0 = ltv1 = ltv2 = np.zeros((1, 3), np.float32)
             ltc = np.zeros((1, 3), np.float32); lti = np.zeros(1, np.float32)
             ltt = np.zeros(1, bool); ltvld = np.zeros(1, bool)
+            lto = np.zeros(1, np.int32)
 
         sun = self.sun
         sun_dir = (sun.normalized_direction() if sun
@@ -256,6 +263,13 @@ class Scene:
                 bvh.tri_v0, bvh.tri_v1, bvh.tri_v2)
             bvh_fields.update(pallas_panels=panels, pallas_cl_min=p_lo,
                               pallas_cl_max=p_hi)
+            # Subtree sorted-triangle ranges per node for the in-graph
+            # AABB refit (ops/refit.py).
+            from realtimeraytracer_tpu.ops.refit import subtree_ranges
+
+            ns, ne = subtree_ranges(bvh.node_first, bvh.node_count,
+                                    bvh.node_skip)
+            bvh_fields.update(bvh_node_tri_start=ns, bvh_node_tri_end=ne)
         else:
             z3 = np.zeros((1, 3), np.float32)
             z1 = np.zeros(1, np.int32)
@@ -282,7 +296,7 @@ class Scene:
             sph_obj=j(np.asarray(sph_obj, np.int32)),
             lt_v0=j(ltv0), lt_v1=j(ltv1), lt_v2=j(ltv2),
             lt_color=j(ltc), lt_intensity=j(lti), lt_two_sided=j(ltt),
-            lt_valid=j(ltvld),
+            lt_valid=j(ltvld), lt_obj=j(lto), vert_obj=j(vert_obj_arr),
             sun_direction=j(sun_dir), sun_color=j(sun_col), sun_intensity=j(sun_int),
             hdri=j(hdri), env_color=j(np.asarray(self.env_color, np.float32)),
             ltc1=j(ltc1), ltc2=j(ltc2),
