@@ -50,7 +50,8 @@ def main() -> None:
             rays = generate_ray_blocks(
                 fr, width, height, sample_index=sample, jitter=True,
                 t_min=cfg.t_min, t_max=cfg.t_max)
-            outf, outi = pb.trace_blocks(g, cfg, rays, "closest")
+            outf, outi = pb.trace_blocks(g, cfg, rays, "closest",
+                                         common="origin")
             return outf[:, 0, :], outi[:, 0, :]
     else:
         from realtimeraytracer_tpu.ops.camera_rays import generate_rays

@@ -96,6 +96,12 @@ class RenderConfig:
     # Ray-batch tile size for wavefront/pallas paths (rays per tile).
     tile_rays: int = 8192
 
+    # Mip-mapped (trilinear) texture sampling with footprint-derived LOD
+    # (image_sampler.cppm:11-51 parity).  Default off: the golden tests
+    # compare exact base-level bilinear against the CPU reference, which
+    # has no mip chain; interactive/production paths should enable it.
+    mip_textures: bool = False
+
     # Numerics: intersection math is always f32; shading may be bf16 later.
     dtype: str = "float32"
 

@@ -148,3 +148,83 @@ def sample_equirect(hdri: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
     u = jnp.arctan2(d[..., 2], d[..., 0]) / TWO_PI + 0.5
     v = 1.0 - jnp.arccos(jnp.clip(d[..., 1], -1.0, 1.0)) / PI
     return sample_bilinear(hdri, u, v, wrap=True)
+
+
+# ---------------------------------------------------------------------------
+# mip-mapped atlas (image_sampler.cppm:11-51 parity: the reference samples
+# with a full mip chain + linear filtering; anisotropy is approximated by
+# the isotropic footprint here)
+# ---------------------------------------------------------------------------
+
+def build_mip_atlas_np(atlas, sizes):
+    """Box-filtered mip chain of a padded (T, S, S, 4) atlas, packed into
+    ONE (T, 2S, S, 4) array: level k occupies rows [2S(1-2^-k),
+    2S(1-2^-k) + S/2^k) — STATIC per-level row offsets independent of each
+    texture's true size.  Per-texture level-k content fills the top-left
+    (ceil(h/2^k), ceil(w/2^k)) of its level tile.  Runs once at compile
+    (NumPy).  Returns (mip_atlas, num_levels)."""
+    import numpy as np
+
+    t, s = atlas.shape[0], atlas.shape[1]
+    if t == 0:
+        return np.zeros((0, 2 * s, s, 4), np.float32), 1
+    levels = 1
+    while (s >> levels) >= 1:
+        levels += 1
+    out = np.zeros((t, 2 * s, s, 4), np.float32)
+    out[:, :s, :, :] = atlas
+    for ti in range(t):
+        h, w = int(sizes[ti, 0]), int(sizes[ti, 1])
+        cur = atlas[ti, :h, :w, :]
+        for k in range(1, levels):
+            nh, nw = max(1, (h + 1) // 2), max(1, (w + 1) // 2)
+            # 2x2 box filter with edge clamp for odd dims.
+            padded = np.pad(cur, ((0, cur.shape[0] % 2), (0, cur.shape[1] % 2),
+                                  (0, 0)), mode="edge")
+            cur = 0.25 * (padded[0::2, 0::2] + padded[1::2, 0::2]
+                          + padded[0::2, 1::2] + padded[1::2, 1::2])
+            h, w = nh, nw
+            y_off = 2 * s - (2 * s >> k)
+            out[ti, y_off:y_off + h, :w, :] = cur
+    return out, levels
+
+
+def _sample_atlas_level(mip_atlas, sizes, tex_id, u, v, k):
+    """Bilinear fetch at integer mip level k (per-ray int32 array)."""
+    s = mip_atlas.shape[2]
+    tid = jnp.clip(tex_id, 0, max(mip_atlas.shape[0] - 1, 0))
+    hw = sizes[tid]
+    h = jnp.maximum(hw[..., 0] >> k, 1).astype(jnp.float32)
+    w = jnp.maximum(hw[..., 1] >> k, 1).astype(jnp.float32)
+    y_off = (2 * s) - ((2 * s) >> k)
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0f, y0f = jnp.floor(x), jnp.floor(y)
+    fx = (x - x0f)[..., None]
+    fy = (y - y0f)[..., None]
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+    wi, hi = w.astype(jnp.int32), h.astype(jnp.int32)
+    xi0, xi1 = _wrap(x0, wi), _wrap(x0 + 1, wi)
+    yi0, yi1 = _wrap(y0, hi) + y_off, _wrap(y0 + 1, hi) + y_off
+    c00 = mip_atlas[tid, yi0, xi0]
+    c01 = mip_atlas[tid, yi0, xi1]
+    c10 = mip_atlas[tid, yi1, xi0]
+    c11 = mip_atlas[tid, yi1, xi1]
+    top = c00 * (1.0 - fx) + c01 * fx
+    bot = c10 * (1.0 - fx) + c11 * fx
+    return top * (1.0 - fy) + bot * fy
+
+
+def sample_atlas_mip(mip_atlas, sizes, num_levels, tex_id, u, v, lod):
+    """Trilinear (mip-interpolated bilinear) atlas sample.
+
+    lod: per-ray float level-of-detail (0 = base).  Clamped to the chain;
+    two level fetches + lerp, matching GPU trilinear filtering."""
+    lod = jnp.clip(lod, 0.0, float(num_levels - 1))
+    k0 = jnp.floor(lod).astype(jnp.int32)
+    k1 = jnp.minimum(k0 + 1, num_levels - 1)
+    f = (lod - k0.astype(jnp.float32))[..., None]
+    c0 = _sample_atlas_level(mip_atlas, sizes, tex_id, u, v, k0)
+    c1 = _sample_atlas_level(mip_atlas, sizes, tex_id, u, v, k1)
+    return c0 * (1.0 - f) + c1 * f

@@ -60,19 +60,19 @@ def wrap_backend_with_alpha(backend: TraceBackend, gpu: GPUScene,
     threshold = cfg.alpha_threshold
     eps = 1e-4
 
-    def closest(origins, dirs, t_min, t_max):
+    def closest(origins, dirs, t_min, t_max, common=None):
         # fori ladder (not Python unroll): each round re-traces only the
         # rays whose hit was alpha-rejected; one trace instance compiles.
         r = origins.shape[0]
         t_lo0 = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (r,))
-        hit0 = backend.closest(origins, dirs, t_lo0, t_max)
+        hit0 = backend.closest(origins, dirs, t_lo0, t_max, common=common)
 
         def round_fn(_, state):
             hit, t_lo = state
             a = hit_alpha(gpu, hit, origins, dirs)
             rejected = hit.hit & (a < threshold)
             t_lo = jnp.where(rejected, hit.t + eps, t_lo)
-            re = backend.closest(origins, dirs, t_lo, t_max)
+            re = backend.closest(origins, dirs, t_lo, t_max, common=common)
             hit = HitRecord(
                 t=jnp.where(rejected, re.t, hit.t),
                 prim_id=jnp.where(rejected, re.prim_id, hit.prim_id),
@@ -84,13 +84,13 @@ def wrap_backend_with_alpha(backend: TraceBackend, gpu: GPUScene,
         hit, _ = jax.lax.fori_loop(0, cfg.alpha_rounds, round_fn, (hit0, t_lo0))
         return hit
 
-    def occluded(origins, dirs, t_min, t_max):
+    def occluded(origins, dirs, t_min, t_max, common=None):
         # Any-hit with alpha: occluded iff some OPAQUE hit lies in range.
         # Walk a closest-hit ladder, stepping past transparent surfaces.
         r = origins.shape[0]
         t_max_v = jnp.broadcast_to(t_max, (r,)).astype(jnp.float32)
         t_lo0 = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (r,))
-        hit0 = backend.closest(origins, dirs, t_lo0, t_max_v)
+        hit0 = backend.closest(origins, dirs, t_lo0, t_max_v, common=common)
         occ0 = jnp.zeros((r,), bool)
 
         def round_fn(_, state):
@@ -100,7 +100,7 @@ def wrap_backend_with_alpha(backend: TraceBackend, gpu: GPUScene,
             occ = occ | (in_range & (a >= threshold))
             transparent = in_range & (a < threshold) & ~occ
             t_lo = jnp.where(transparent, hit.t + eps, t_lo)
-            re = backend.closest(origins, dirs, t_lo, t_max_v)
+            re = backend.closest(origins, dirs, t_lo, t_max_v, common=common)
             hit = HitRecord(
                 t=jnp.where(transparent, re.t, hit.t),
                 prim_id=jnp.where(transparent, re.prim_id, hit.prim_id),

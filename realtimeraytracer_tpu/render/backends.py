@@ -54,7 +54,7 @@ def make_bruteforce_backend(gpu: GPUScene, cfg: RenderConfig) -> TraceBackend:
     num_tris = gpu.faces.shape[0]
     num_spheres = gpu.sph_center.shape[0]
 
-    def closest(origins, dirs, t_min, t_max):
+    def closest(origins, dirs, t_min, t_max, common=None):
         hit = intersect.intersect_tris_bruteforce(
             origins, dirs, gpu.vertices, gpu.faces, t_min, t_max
         )
@@ -65,7 +65,7 @@ def make_bruteforce_backend(gpu: GPUScene, cfg: RenderConfig) -> TraceBackend:
             hit = _merge_sphere_hits(hit, sph, num_tris)
         return hit
 
-    def occluded(origins, dirs, t_min, t_max):
+    def occluded(origins, dirs, t_min, t_max, common=None):
         occ = intersect.occluded_tris_bruteforce(
             origins, dirs, gpu.vertices, gpu.faces, t_min, t_max
         )

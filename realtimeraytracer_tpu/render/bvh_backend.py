@@ -185,7 +185,7 @@ def make_bvh_backend(gpu: GPUScene, cfg: RenderConfig) -> TraceBackend:
     num_spheres = gpu.sph_center.shape[0]
     sg = jax.lax.stop_gradient
 
-    def closest(origins, dirs, t_min, t_max):
+    def closest(origins, dirs, t_min, t_max, common=None):
         origins, dirs = sg(origins), sg(dirs)
         hit = traverse_closest(sg(gpu), cfg, origins, dirs, t_min, t_max)
         if num_spheres:
@@ -195,7 +195,7 @@ def make_bvh_backend(gpu: GPUScene, cfg: RenderConfig) -> TraceBackend:
             hit = _merge_sphere_hits(hit, sph, num_tris)
         return hit
 
-    def occluded(origins, dirs, t_min, t_max):
+    def occluded(origins, dirs, t_min, t_max, common=None):
         origins, dirs, t_max = sg(origins), sg(dirs), sg(t_max)
         occ = traverse_occluded(sg(gpu), cfg, origins, dirs, t_min, t_max)
         if num_spheres:

@@ -81,7 +81,7 @@ def wrap_backend_with_debug(backend, gpu: GPUScene, cfg: RenderConfig):
             lambda c: None,
             stats["cap_clipped"])
 
-    def closest(origins, dirs, t_min, t_max):
+    def closest(origins, dirs, t_min, t_max, common=None):
         hit, stats = diagnose_traversal(gpu, cfg, origins, dirs, t_min,
                                         t_max, "closest", kind)
         _warn(stats, "tiles/lanes in closest")
@@ -94,7 +94,7 @@ def wrap_backend_with_debug(backend, gpu: GPUScene, cfg: RenderConfig):
             hit = _merge_sphere_hits(hit, sph, backend.num_tris)
         return hit
 
-    def occluded(origins, dirs, t_min, t_max):
+    def occluded(origins, dirs, t_min, t_max, common=None):
         occ, stats = diagnose_traversal(gpu, cfg, origins, dirs, t_min,
                                         t_max, "occluded", kind)
         _warn(stats, "tiles/lanes in occluded")

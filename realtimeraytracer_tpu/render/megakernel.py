@@ -68,10 +68,19 @@ def shade_sample(
     pixel_seed: jnp.ndarray,   # (R,) uint32: px*733 + py*1933 + frame
     backend: TraceBackend,
     sample_index: int = 0,
+    lod_scale=None,
 ) -> SampleRadiance:
     R = origins.shape[0]
-    hit = backend.closest(origins, dirs, cfg.t_min, cfg.t_max)
-    surf = resolve_surface(gpu, hit, origins, dirs)
+    # common="origin": generate_rays primaries all share the pinhole camera
+    # position, which lets the pallas kernel collapse the origin-dot
+    # families to per-triangle rows (~10% at 1080p); other backends ignore
+    # the hint.  Callers feeding NON-pinhole rays into shade_sample must
+    # not exist (the megakernel is the primary-ray shader by contract).
+    hit = backend.closest(origins, dirs, cfg.t_min, cfg.t_max,
+                          common="origin")
+    surf = resolve_surface(
+        gpu, hit, origins, dirs,
+        lod_scale=lod_scale if cfg.mip_textures else None)
 
     # --- miss: equirect HDRI environment (miss.rmiss:21-26) --------------
     env = srgb_to_linear(sample_equirect(gpu.hdri, dirs)) * gpu.env_color
@@ -220,6 +229,7 @@ def shade_sample(
         shadow_origin, jnp.broadcast_to(gpu.sun_direction, (R, 3)),
         jnp.where(surf.valid, cfg.t_min, BIG_T),
         jnp.where(surf.valid, cfg.t_max, -BIG_T),
+        common="dir",   # every lane shares the sun direction
     )
     sun_lit = jnp.where(sun_occ, 0.0, 1.0)[:, None]
     sun_ndotl = jnp.maximum(sun_ndotl_raw, 1e-4)
@@ -285,12 +295,23 @@ def render_components(
     else:
         perm = inv_perm = None
 
+    # Pixel angular footprint for mip LOD: world pixel step on the viewport
+    # plane over the center ray's distance to that plane.
+    if cfg.mip_textures:
+        center = (frame.top_left + (w * 0.5) * frame.h_delta
+                  + (h * 0.5) * frame.v_delta - frame.position)
+        lod_scale = (jnp.linalg.norm(frame.h_delta)
+                     / jnp.maximum(jnp.linalg.norm(center), 1e-6))
+    else:
+        lod_scale = None
+
     acc = None
     for s in range(cfg.primary_rays):
         o, d = generate_rays(frame, w, h, sample_index=s, jitter=cfg.jitter)
         if perm is not None:
             o, d = o[perm], d[perm]
-        out = shade_sample(gpu, cfg, o, d, pixel_seed, backend, sample_index=s)
+        out = shade_sample(gpu, cfg, o, d, pixel_seed, backend,
+                           sample_index=s, lod_scale=lod_scale)
         acc = out if acc is None else SampleRadiance(*(a + b for a, b in zip(acc, out)))
     if inv_perm is not None:
         acc = SampleRadiance(*(x[inv_perm] for x in acc))

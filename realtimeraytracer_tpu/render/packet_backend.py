@@ -269,7 +269,7 @@ def make_packet_backend(gpu: GPUScene, cfg: RenderConfig) -> TraceBackend:
     num_spheres = gpu.sph_center.shape[0]
     sg = jax.lax.stop_gradient
 
-    def closest(origins, dirs, t_min, t_max):
+    def closest(origins, dirs, t_min, t_max, common=None):
         hit = packet_closest(sg(gpu), cfg, sg(origins), sg(dirs), t_min, t_max)
         if num_spheres:
             sph = intersect.intersect_spheres(
@@ -277,7 +277,7 @@ def make_packet_backend(gpu: GPUScene, cfg: RenderConfig) -> TraceBackend:
             hit = _merge_sphere_hits(hit, sph, num_tris)
         return hit
 
-    def occluded(origins, dirs, t_min, t_max):
+    def occluded(origins, dirs, t_min, t_max, common=None):
         occ = packet_occluded(sg(gpu), cfg, sg(origins), sg(dirs), t_min,
                               sg(t_max))
         if num_spheres:

@@ -319,6 +319,40 @@ def _tile_body(b, rays_ref, keys_ref, coeff_ref, outf_ref, outi_ref,
     tmin_c = rays[6, :][:, None]                 # (128, 1) column
     tmax_c = rays[7, :][:, None]
 
+    if _ABLATE == "fixed8":
+        # Overhead probe: 8 unconditional visits of blocks 0..7 — no pops,
+        # no while loop, no scalar round trips.  Isolates the pure
+        # slice+intersect cost per visit (debug-only; results are wrong).
+        ocol = [rays[a, :][:, None] for a in range(3)]
+        dcol = [rays[3 + a, :][:, None] for a in range(3)]
+        best = jnp.full((TILE, 1), BIG, F32)
+        for j in range(8):
+            c = coeff_ref[j % cb]
+            def dot_o(base):
+                return (ocol[0] * c[base:base + 1]
+                        + ocol[1] * c[base + 1:base + 2]
+                        + ocol[2] * c[base + 2:base + 3]
+                        + c[base + 3:base + 4])
+            def dot_d(base):
+                return (dcol[0] * c[base:base + 1]
+                        + dcol[1] * c[base + 1:base + 2]
+                        + dcol[2] * c[base + 2:base + 3])
+            s0, s1 = dot_o(0), dot_d(0)
+            den_ok = jnp.abs(s1) > EPS
+            t = jnp.where(den_ok, -s0 / jnp.where(den_ok, s1, 1.0), BIG)
+            u = dot_o(4) + t * dot_d(4)
+            v = dot_o(8) + t * dot_d(8)
+            ok = (den_ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                  & (t >= tmin_c))
+            best = jnp.minimum(best, jnp.min(
+                jnp.where(ok, t, BIG), axis=1, keepdims=True))
+        outf_ref[b, 0, :] = best[:, 0]
+        outf_ref[b, 1, :] = jnp.zeros((TILE,), F32)
+        outf_ref[b, 2, :] = jnp.zeros((TILE,), F32)
+        outi_ref[b, 0, :] = jnp.full((TILE,), -1, I32)
+        outi_ref[b, 1, :] = jnp.full((TILE,), 8, I32)
+        return jnp.int32(0)
+
     ent_ref[...] = keys_ref[b]
 
     def pop_group():
@@ -588,16 +622,18 @@ def make_pallas_backend(gpu: GPUScene, cfg: RenderConfig) -> TraceBackend:
     num_spheres = gpu.sph_center.shape[0]
     sg = jax.lax.stop_gradient
 
-    def closest(origins, dirs, t_min, t_max):
-        hit = pallas_closest(sg(gpu), cfg, sg(origins), sg(dirs), sg(t_min), sg(t_max))
+    def closest(origins, dirs, t_min, t_max, common=None):
+        hit = pallas_closest(sg(gpu), cfg, sg(origins), sg(dirs), sg(t_min),
+                             sg(t_max), common=common)
         if num_spheres:
             sph = intersect.intersect_spheres(
                 origins, dirs, gpu.sph_center, gpu.sph_radius, t_min, t_max)
             hit = _merge_sphere_hits(hit, sph, num_tris)
         return hit
 
-    def occluded(origins, dirs, t_min, t_max):
-        occ = pallas_occluded(sg(gpu), cfg, sg(origins), sg(dirs), sg(t_min), sg(t_max))
+    def occluded(origins, dirs, t_min, t_max, common=None):
+        occ = pallas_occluded(sg(gpu), cfg, sg(origins), sg(dirs), sg(t_min),
+                              sg(t_max), common=common)
         if num_spheres:
             sph = intersect.intersect_spheres(
                 origins, dirs, gpu.sph_center, gpu.sph_radius, t_min, jnp.inf)

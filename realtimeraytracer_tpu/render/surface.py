@@ -39,7 +39,13 @@ class Surface(NamedTuple):
 
 
 def resolve_surface(gpu: GPUScene, hit: HitRecord,
-                    origins: jnp.ndarray, dirs: jnp.ndarray) -> Surface:
+                    origins: jnp.ndarray, dirs: jnp.ndarray,
+                    lod_scale: float | None = None) -> Surface:
+    """lod_scale: per-unit-distance pixel footprint (world units per pixel
+    at distance 1 along the ray).  When given AND the scene carries a mip
+    chain, texture fetches go through the trilinear mip path
+    (cfg.mip_textures; image_sampler.cppm:11-51 parity).  None = exact
+    base-level bilinear (the golden-test contract vs the CPU reference)."""
     num_tris = gpu.faces.shape[0]
     num_spheres = gpu.sph_center.shape[0]
 
@@ -135,15 +141,45 @@ def resolve_surface(gpu: GPUScene, hit: HitRecord,
     normal = jnp.where(valid[..., None], normal, 0.0)
 
     if gpu.tex_atlas.shape[0] > 0:
-        # Texture overrides only where a map index is >= 0.
-        texel = sample_atlas(gpu.tex_atlas, gpu.tex_size, tex[..., 0],
-                             uv[..., 0], uv[..., 1])
+        use_mip = (lod_scale is not None and gpu.tex_mip_atlas is not None
+                   and gpu.tex_mip_atlas.shape[0] > 0
+                   and gpu.face_uv_density is not None)
+        if use_mip:
+            from realtimeraytracer_tpu.ops.texture import sample_atlas_mip
+
+            # Isotropic footprint LOD: pixel footprint in world units at
+            # the hit (t * lod_scale), grown by grazing angle, converted
+            # to uv space by the face's uv density, to texels by the
+            # texture's own dims inside the per-channel lod.
+            cosang = jnp.clip(jnp.abs(jnp.sum(normal * dirs, -1)), 0.08, 1.0)
+            fp_world = hit.t * lod_scale / cosang
+            density = gpu.face_uv_density[tid] * is_tri.astype(jnp.float32)
+            fp_uv = fp_world * density
+            s = gpu.tex_mip_atlas.shape[2]
+            num_levels = max(1, s.bit_length())
+
+            def fetch(channel):
+                dims = gpu.tex_size[jnp.clip(tex[..., channel], 0, None)]
+                texels = fp_uv * jnp.sqrt(
+                    (dims[..., 0] * dims[..., 1]).astype(jnp.float32))
+                lod = jnp.log2(jnp.maximum(texels, 1.0))
+                return sample_atlas_mip(gpu.tex_mip_atlas, gpu.tex_size,
+                                        num_levels, tex[..., channel],
+                                        uv[..., 0], uv[..., 1], lod)
+
+            texel = fetch(0)
+            spec_texel = fetch(1)[..., 0]
+            metal_texel = fetch(2)[..., 0]
+        else:
+            # Texture overrides only where a map index is >= 0.
+            texel = sample_atlas(gpu.tex_atlas, gpu.tex_size, tex[..., 0],
+                                 uv[..., 0], uv[..., 1])
+            spec_texel = sample_atlas(gpu.tex_atlas, gpu.tex_size,
+                                      tex[..., 1], uv[..., 0], uv[..., 1])[..., 0]
+            metal_texel = sample_atlas(gpu.tex_atlas, gpu.tex_size,
+                                       tex[..., 2], uv[..., 0], uv[..., 1])[..., 0]
         color = jnp.where((tex[..., 0] >= 0)[..., None], texel[..., :3], color)
-        spec_texel = sample_atlas(gpu.tex_atlas, gpu.tex_size, tex[..., 1],
-                                  uv[..., 0], uv[..., 1])[..., 0]
         spec = jnp.where(tex[..., 1] >= 0, spec_texel, spec)
-        metal_texel = sample_atlas(gpu.tex_atlas, gpu.tex_size, tex[..., 2],
-                                   uv[..., 0], uv[..., 1])[..., 0]
         metal = jnp.where(tex[..., 2] >= 0, metal_texel, metal)
 
     albedo = srgb_to_linear(color)

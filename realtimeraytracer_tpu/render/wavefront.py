@@ -49,10 +49,19 @@ class PathState(NamedTuple):
 
 
 def _sample_one_light(gpu: GPUScene, cfg: RenderConfig, backend: TraceBackend,
-                      p, n, view, albedo, rough, metal, seed):
+                      p, n, view, albedo, rough, metal, seed, live=None):
     """Next-event estimation: one uniform sample on one uniformly-chosen
-    light triangle (+ the directional sun)."""
+    light triangle (+ the directional sun).
+
+    live: per-ray mask of lanes whose contribution will be used; dead
+    lanes get empty shadow-segment intervals so the traversal retires
+    them instead of tracing garbage rays from sanitized zero positions
+    (the same ~40%-of-trace-cost waste measured in the megakernel)."""
+    from realtimeraytracer_tpu.ops.intersect import BIG_T
+
     R = p.shape[0]
+    if live is None:
+        live = jnp.ones((R,), bool)
     lt = gpu.lt_v0.shape[0]
     lam = lambert_diffuse(albedo, metal)
     _, f0 = base_color_split(albedo, metal)
@@ -82,7 +91,10 @@ def _sample_one_light(gpu: GPUScene, cfg: RenderConfig, backend: TraceBackend,
     dist = jnp.sqrt(jnp.maximum(dot(delta, delta), 1e-20))
     ldir = delta / dist[:, None]
     so = p + n * cfg.shadow_origin_offset
-    occ = backend.occluded(so, ldir, cfg.t_min, dist - cfg.shadow_ray_margin)
+    occ = backend.occluded(
+        so, ldir,
+        jnp.where(live, cfg.t_min, BIG_T),
+        jnp.where(live, dist - cfg.shadow_ray_margin, -BIG_T))
 
     ndotl = jnp.maximum(dot(n, ldir), 0.0)
     cos_on_light = jnp.abs(dot(nlu, -ldir))
@@ -98,8 +110,9 @@ def _sample_one_light(gpu: GPUScene, cfg: RenderConfig, backend: TraceBackend,
     # Sun (delta light).
     sun_nl = dot(n, gpu.sun_direction[None, :])
     sun_occ = backend.occluded(
-        so, jnp.broadcast_to(gpu.sun_direction, (R, 3)), cfg.t_min,
-        jnp.full((R,), cfg.t_max, jnp.float32))
+        so, jnp.broadcast_to(gpu.sun_direction, (R, 3)),
+        jnp.where(live, cfg.t_min, BIG_T),
+        jnp.where(live, cfg.t_max, -BIG_T), common="dir")
     sun_spec = cook_torrance_specular(
         view, jnp.broadcast_to(gpu.sun_direction, (R, 3)), n, rough, f0,
         min_ndotv=1e-3, min_ndotl=1e-3)
@@ -130,10 +143,19 @@ def trace_paths(
         alive=jnp.ones_like(origins[:, 0], bool),
     )
 
+    from realtimeraytracer_tpu.ops.intersect import BIG_T
+
     for bounce in range(cfg.max_bounces + 1):
         bseed = (pixel_seed + jnp.uint32(bounce * 9176)
                  + jnp.uint32(sample_index * 15485863))
-        hit = backend.closest(state.origins, state.dirs, cfg.t_min, cfg.t_max)
+        # Dead lanes get empty t intervals: their (sanitized-zero origin)
+        # rays would otherwise trace real segments through the scene.
+        # Bounce 0 keeps the pinhole common-origin hint.
+        hit = backend.closest(
+            state.origins, state.dirs,
+            jnp.where(state.alive, cfg.t_min, BIG_T),
+            jnp.where(state.alive, cfg.t_max, -BIG_T),
+            common="origin" if bounce == 0 else None)
         surf = resolve_surface(gpu, hit, state.origins, state.dirs)
 
         env = srgb_to_linear(sample_equirect(gpu.hdri, state.dirs)) * gpu.env_color
@@ -152,7 +174,7 @@ def trace_paths(
         view = -state.dirs
         nee = _sample_one_light(
             gpu, cfg, backend, surf.position, surf.normal, view,
-            surf.albedo, surf.roughness, surf.metallic, bseed)
+            surf.albedo, surf.roughness, surf.metallic, bseed, live=still)
         state = state._replace(
             radiance=state.radiance
             + jnp.where(still[:, None], state.throughput * nee, 0.0)

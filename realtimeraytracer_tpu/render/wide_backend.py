@@ -377,7 +377,7 @@ def make_wide_backend(gpu: GPUScene, cfg: RenderConfig) -> TraceBackend:
     num_spheres = gpu.sph_center.shape[0]
     sg = jax.lax.stop_gradient
 
-    def closest(origins, dirs, t_min, t_max):
+    def closest(origins, dirs, t_min, t_max, common=None):
         hit = wide_closest(sg(gpu), cfg, sg(origins), sg(dirs), sg(t_min), sg(t_max))
         if num_spheres:
             sph = intersect.intersect_spheres(
@@ -385,7 +385,7 @@ def make_wide_backend(gpu: GPUScene, cfg: RenderConfig) -> TraceBackend:
             hit = _merge_sphere_hits(hit, sph, num_tris)
         return hit
 
-    def occluded(origins, dirs, t_min, t_max):
+    def occluded(origins, dirs, t_min, t_max, common=None):
         occ = wide_occluded(sg(gpu), cfg, sg(origins), sg(dirs), sg(t_min), sg(t_max))
         if num_spheres:
             sph = intersect.intersect_spheres(

@@ -98,6 +98,12 @@ class GPUScene(NamedTuple):
     bvh_node_tri_start: jnp.ndarray | None = None  # (N,) i32
     bvh_node_tri_end: jnp.ndarray | None = None    # (N,) i32
 
+    # --- mip chain of the texture atlas (ops/texture.build_mip_atlas_np;
+    # trilinear path used when cfg.mip_textures; image_sampler.cppm:11-51
+    # parity) + per-face sqrt(uv_area/world_area) for LOD selection. ------
+    tex_mip_atlas: jnp.ndarray | None = None   # (T, 2S, S, 4) f32
+    face_uv_density: jnp.ndarray | None = None # (F,) f32
+
     @property
     def has_bvh(self) -> bool:
         return self.bvh_node_min.shape[0] > 1

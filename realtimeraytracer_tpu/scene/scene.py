@@ -226,6 +226,12 @@ class Scene:
         ltc1, ltc2 = load_ltc_tables()
 
         atlas, tex_size = _pack_textures(self.textures)
+        if len(self.textures):
+            from realtimeraytracer_tpu.ops.texture import build_mip_atlas_np
+
+            mip_atlas, _ = build_mip_atlas_np(atlas, tex_size)
+        else:
+            mip_atlas = np.zeros((0, 16, 8, 4), np.float32)
 
         # LBVH over the world-space soup (BLAS+TLAS analogue, ops/bvh.py);
         # the native C++ builder (native/bvh_build.cpp) is tried first.
@@ -279,6 +285,21 @@ class Scene:
                 bvh_tri_v0=z3, bvh_tri_v1=z3, bvh_tri_v2=z3, bvh_tri_id=z1,
             )
 
+        # Per-face sqrt(uv_area / world_area): the texture-LOD density used
+        # by the mip path (computed AFTER the BVH face permutation so the
+        # index matches prim ids).
+        fv0 = vertices[faces_arr[:, 0]]
+        fv1 = vertices[faces_arr[:, 1]]
+        fv2 = vertices[faces_arr[:, 2]]
+        world_a2 = np.linalg.norm(np.cross(fv1 - fv0, fv2 - fv0), axis=1)
+        fu0 = uv_arr[faces_arr[:, 0]]
+        fu1 = uv_arr[faces_arr[:, 1]]
+        fu2 = uv_arr[faces_arr[:, 2]]
+        e1uv, e2uv = fu1 - fu0, fu2 - fu0
+        uv_a2 = np.abs(e1uv[:, 0] * e2uv[:, 1] - e1uv[:, 1] * e2uv[:, 0])
+        uv_density = np.sqrt(uv_a2 / np.maximum(world_a2, 1e-20)).astype(
+            np.float32)
+
         log.debug(
             "scene compiled: {} tris, {} verts, {} objects, {} light tris, {} spheres",
             len(faces_arr), len(vertices), len(obj_rows), n_lt, len(sph_center),
@@ -301,6 +322,7 @@ class Scene:
             hdri=j(hdri), env_color=j(np.asarray(self.env_color, np.float32)),
             ltc1=j(ltc1), ltc2=j(ltc2),
             tex_atlas=j(atlas), tex_size=j(tex_size),
+            tex_mip_atlas=j(mip_atlas), face_uv_density=j(uv_density),
             **{k: j(v) for k, v in bvh_fields.items()},
         )
 

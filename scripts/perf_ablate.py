@@ -99,17 +99,9 @@ def main():
         return dt
 
     configs = [
-        ("closest base", {}, "closest", rays0, None),
-        ("closest common=origin", {}, "closest", rays0, "origin"),
-        ("closest PACK=2", {"PB_PACK": 2}, "closest", rays0, None),
-        ("closest novisit (cull+grid only)",
-         {"PB_ABLATE": "novisit"}, "closest", rays0, None),
-        ("closest MAX_VISITS=1", {"PB_MAX_VISITS": 1}, "closest", rays0, None),
-        ("closest BT=16", {"PB_BT": 16}, "closest", rays0, None),
-        ("shadow OPACK=2 base", {}, "occluded", srays0, "origin"),
-        ("shadow OPACK=4", {"PB_OPACK": 4}, "occluded", srays0, "origin"),
-        ("shadow OPACK=8", {"PB_OPACK": 8}, "occluded", srays0, "origin"),
-        ("shadow novisit", {"PB_ABLATE": "novisit"}, "occluded", srays0, None),
+        ("closest PACK=2 origin", {}, "closest", rays0, "origin"),
+        ("closest fixed8 (no pops/while)",
+         {"PB_ABLATE": "fixed8"}, "closest", rays0, None),
     ]
     for tag, knobs, mode, rays, common in configs:
         pb = load_pb(**knobs)
