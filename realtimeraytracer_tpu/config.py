@@ -96,6 +96,12 @@ class RenderConfig:
     # Ray-batch tile size for wavefront/pallas paths (rays per tile).
     tile_rays: int = 8192
 
+    # Wavefront bounce-ray reordering: sort secondary rays by direction
+    # octant + origin Morton code before tracing (render/wavefront.py).
+    # Result-invariant (per-ray RNG rides with the ray) and 3.2x faster on
+    # incoherent bounce traces; off only for debugging.
+    sort_bounces: bool = True
+
     # Mip-mapped (trilinear) texture sampling with footprint-derived LOD
     # (image_sampler.cppm:11-51 parity).  Default off: the golden tests
     # compare exact base-level bilinear against the CPU reference, which

@@ -319,15 +319,21 @@ def _tile_body(b, rays_ref, keys_ref, coeff_ref, outf_ref, outi_ref,
     tmin_c = rays[6, :][:, None]                 # (128, 1) column
     tmax_c = rays[7, :][:, None]
 
-    if _ABLATE == "fixed8":
-        # Overhead probe: 8 unconditional visits of blocks 0..7 — no pops,
-        # no while loop, no scalar round trips.  Isolates the pure
-        # slice+intersect cost per visit (debug-only; results are wrong).
+    if _ABLATE in ("fixed8", "fixed8dyn"):
+        # Overhead probes: 8 unconditional visits — no pops, no while loop.
+        # fixed8: static block ids (pure slice+intersect floor).
+        # fixed8dyn: ids read from the keys page (adds the per-visit
+        # vector->scalar extract + dynamic slice of the real loop).
         ocol = [rays[a, :][:, None] for a in range(3)]
         dcol = [rays[3 + a, :][:, None] for a in range(3)]
         best = jnp.full((TILE, 1), BIG, F32)
+        kpage = keys_ref[b, 0]                   # (8, 128)
         for j in range(8):
-            c = coeff_ref[j % cb]
+            if _ABLATE == "fixed8dyn":
+                cid = jnp.minimum(kpage[j // 128, j % 128] & id_mask, cb - 1)
+                c = coeff_ref[cid]
+            else:
+                c = coeff_ref[j % cb]
             def dot_o(base):
                 return (ocol[0] * c[base:base + 1]
                         + ocol[1] * c[base + 1:base + 2]

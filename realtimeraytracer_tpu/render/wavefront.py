@@ -48,6 +48,34 @@ class PathState(NamedTuple):
     alive: jnp.ndarray        # (R,) bool
 
 
+def _coherence_key(o, d, live):
+    """Sort key for bounce-ray reordering: direction octant (high bits) then
+    a 15-bit 3D Morton code of the origin.
+
+    Secondary bounces scatter in all directions, and the tile-based
+    traversal pays the UNION of each 128-ray tile's frustum — measured
+    3.2x slower than sorted tiles at 1080p/100k (PERF.md).  The argsort of
+    2M keys costs ~13 ms; dead lanes sort to the end (their empty
+    t-intervals retire instantly and they stop polluting live tiles)."""
+    lo = jnp.min(jnp.where(live[:, None], o, 1e9), axis=0)
+    hi = jnp.max(jnp.where(live[:, None], o, -1e9), axis=0)
+    ext = jnp.maximum(hi - lo, 1e-6)
+    q = jnp.clip((o - lo) / ext * 31.0, 0, 31).astype(jnp.uint32)
+    oct_ = ((d[:, 0] > 0).astype(jnp.uint32)
+            + 2 * (d[:, 1] > 0).astype(jnp.uint32)
+            + 4 * (d[:, 2] > 0).astype(jnp.uint32))
+
+    def spread(v):
+        v = (v | (v << 8)) & jnp.uint32(0x0100FF)
+        v = (v | (v << 4)) & jnp.uint32(0x010C30C3)
+        v = (v | (v << 2)) & jnp.uint32(0x09249249)
+        return v
+
+    m = (spread(q[:, 0]) << 2) | (spread(q[:, 1]) << 1) | spread(q[:, 2])
+    key = (oct_ << 28) | (m & jnp.uint32(0x0FFFFFFF))
+    return jnp.where(live, key, jnp.uint32(0xFFFFFFFF))
+
+
 def _sample_one_light(gpu: GPUScene, cfg: RenderConfig, backend: TraceBackend,
                       p, n, view, albedo, rough, metal, seed, live=None):
     """Next-event estimation: one uniform sample on one uniformly-chosen
@@ -145,8 +173,20 @@ def trace_paths(
 
     from realtimeraytracer_tpu.ops.intersect import BIG_T
 
+    # Logical-pixel tracking for bounce reordering: the whole path state
+    # (INCLUDING its RNG seed) rides with the ray, so reordering changes
+    # nothing but tile composition — results are identical per ray.
+    pix = jnp.arange(R, dtype=jnp.int32)
+    seeds = pixel_seed
+
     for bounce in range(cfg.max_bounces + 1):
-        bseed = (pixel_seed + jnp.uint32(bounce * 9176)
+        if cfg.sort_bounces and bounce >= 1:
+            order = jnp.argsort(
+                _coherence_key(state.origins, state.dirs, state.alive))
+            state = PathState(*(x[order] for x in state))
+            pix = pix[order]
+            seeds = seeds[order]
+        bseed = (seeds + jnp.uint32(bounce * 9176)
                  + jnp.uint32(sample_index * 15485863))
         # Dead lanes get empty t intervals: their (sanitized-zero origin)
         # rays would otherwise trace real segments through the scene.
@@ -211,6 +251,8 @@ def trace_paths(
             radiance=state.radiance,
             alive=still & going_up,
         )
+    if cfg.sort_bounces and cfg.max_bounces >= 1:
+        return state.radiance[jnp.argsort(pix)]
     return state.radiance
 
 

@@ -99,9 +99,10 @@ def main():
         return dt
 
     configs = [
-        ("closest PACK=2 origin", {}, "closest", rays0, "origin"),
-        ("closest fixed8 (no pops/while)",
-         {"PB_ABLATE": "fixed8"}, "closest", rays0, None),
+        ("closest fixed8 static ids", {"PB_ABLATE": "fixed8"},
+         "closest", rays0, None),
+        ("closest fixed8dyn dynamic ids", {"PB_ABLATE": "fixed8dyn"},
+         "closest", rays0, None),
     ]
     for tag, knobs, mode, rays, common in configs:
         pb = load_pb(**knobs)
