@@ -99,9 +99,11 @@ _MAX_VISITS = int(_knob("PB_MAX_VISITS", "0"))  # 0 = unlimited
 # pop/loop overhead over more triangles since lit rays must exhaust every
 # candidate anyway.
 PACK = max(1, int(_knob("PB_PACK", "2")))
-OPACK = max(1, int(_knob("PB_OPACK", "2")))
+OPACK = max(1, int(_knob("PB_OPACK", "4")))
 # VMEM-residency limit for the coefficient table, in blocks (6 KB each).
 RESIDENT_CB = int(_knob("PB_RESIDENT_CB", "1024"))
+# Sub-bundles per 128-ray tile in the cull (1 = whole-tile hull).
+BUNDLES = max(1, int(_knob("PB_BUNDLES", "1")))
 
 CPB = 1024          # block keys per (8, 128) key page
 # Python float for in-kernel use (a jnp scalar would be a captured constant,
@@ -213,7 +215,7 @@ def pack_clusters(gpu: GPUScene):
     return coeff, tmin.min(axis=1), tmax.max(axis=1)
 
 
-def cull_keys(rays, cl_min, cl_max):
+def cull_keys(rays, cl_min, cl_max, bundles: int = 1):
     """Per-tile packed block-candidate keys (Ts, CBn, 8, 128) int32.
 
     Interval-arithmetic slab test of every SUBK-triangle subcluster AABB
@@ -224,6 +226,13 @@ def cull_keys(rays, cl_min, cl_max):
     (entry = min over the block's passing subclusters) — cull fine, visit
     coarse.  The key packs the bound's f32 bits (id-bits cleared = rounded
     down, still a lower bound) with the block id.
+
+    bundles: split each 128-ray tile into this many sub-bundles for the
+    cull (the union of tighter hulls is a subset of the whole tile's
+    interval hull — fewer false candidates on tiles spanning depth
+    discontinuities).  Entry = min over sub-bundles (still a valid lower
+    bound for every ray in the tile); each ray is covered by its own
+    sub-bundle's conservative test, so correctness is unchanged.
     """
     ts = rays.shape[0]
     c32 = cl_min.shape[0]
@@ -232,19 +241,23 @@ def cull_keys(rays, cl_min, cl_max):
     bits = _id_bits(cbn * CPB)
     id_mask = (1 << bits) - 1
 
-    tmin_lb = rays[:, 6, :].min(axis=1)[:, None]
-    tmax_ub = rays[:, 7, :].max(axis=1)[:, None]
+    nb = bundles
+    lanes = TILE // nb
+    rs = rays.reshape(ts, 8, nb, lanes)
 
-    # Per-axis 2D loop: every intermediate is (Ts, C) or (Ts, 1) — no
-    # (Ts, C, 3) tensors for XLA to materialize.
+    tmin_lb = rs[:, 6].min(axis=2).reshape(ts * nb, 1)
+    tmax_ub = rs[:, 7].max(axis=2).reshape(ts * nb, 1)
+
+    # Per-axis 2D loop: every intermediate is (Ts*nb, C) or (Ts*nb, 1) —
+    # no (Ts, C, 3) tensors for XLA to materialize.
     tn = None
     tf = None
     safe = lambda x: jnp.where(jnp.abs(x) > EPS, x, EPS)
     for a in range(3):
-        o_lo = rays[:, a, :].min(axis=1)[:, None]          # (Ts, 1)
-        o_hi = rays[:, a, :].max(axis=1)[:, None]
-        d_lo = rays[:, 3 + a, :].min(axis=1)[:, None]
-        d_hi = rays[:, 3 + a, :].max(axis=1)[:, None]
+        o_lo = rs[:, a].min(axis=2).reshape(ts * nb, 1)
+        o_hi = rs[:, a].max(axis=2).reshape(ts * nb, 1)
+        d_lo = rs[:, 3 + a].min(axis=2).reshape(ts * nb, 1)
+        d_hi = rs[:, 3 + a].max(axis=2).reshape(ts * nb, 1)
         span = (d_lo > EPS) | (d_hi < -EPS)                # sign-definite
         inv_lo = jnp.where(span, 1.0 / safe(d_hi), -BIG)
         inv_hi = jnp.where(span, 1.0 / safe(d_lo), BIG)
@@ -265,9 +278,10 @@ def cull_keys(rays, cl_min, cl_max):
         tf = hi_a if tf is None else jnp.minimum(tf, hi_a)
     possible = (tn <= tf) & (tf >= tmin_lb) & (tn <= tmax_ub)
 
-    # Reduce subclusters -> blocks: entry = min over passing subclusters.
+    # Reduce subclusters -> blocks (and sub-bundles -> tiles): entry =
+    # min over passing subclusters of any sub-bundle.
     ent = jnp.where(possible, jnp.maximum(tn, 0.0), jnp.inf)
-    ent = ent.reshape(ts, cb, CB // SUBK).min(axis=2)      # (Ts, CB)
+    ent = ent.reshape(ts, nb, cb, CB // SUBK).min(axis=(1, 3))  # (Ts, CB)
     any_possible = jnp.isfinite(ent)
 
     ids = jnp.arange(cb, dtype=I32)[None, :]
@@ -545,7 +559,7 @@ def trace_blocks(gpu: GPUScene, cfg: RenderConfig, ray_blocks, mode,
         pad_blk = pad_blk.at[:, 7, :].set(-BIG_T)
         ray_blocks = jnp.concatenate([ray_blocks, pad_blk])
     tsp = ts + pad
-    keys, id_mask = cull_keys(ray_blocks, cl_min, cl_max)
+    keys, id_mask = cull_keys(ray_blocks, cl_min, cl_max, bundles=BUNDLES)
     cbn = keys.shape[1]
 
     pack = PACK if mode == "closest" else OPACK

@@ -36,7 +36,7 @@ ITERS = int(os.environ.get("ABLATE_ITERS", "16"))
 
 def load_pb(**knobs):
     for k in ("PB_BT", "PB_PACK", "PB_OPACK", "PB_ABLATE", "PB_MAX_VISITS",
-              "PB_RESIDENT_CB"):
+              "PB_RESIDENT_CB", "PB_BUNDLES"):
         os.environ.pop(k, None)
     for k, v in knobs.items():
         os.environ[k] = str(v)
@@ -57,7 +57,7 @@ def main():
     import warnings
     warnings.filterwarnings("ignore")
     cfg = RenderConfig(width=W, height=H)
-    scene = scenes.procedural_mesh(100_000)
+    scene = scenes.procedural_mesh(100_000, sun=True)
     gpu = scene.compile(bvh_leaf_size=cfg.bvh_leaf_size)
     frame = scene.camera.viewport_frame(W, H)
     rays0 = jax.jit(lambda fr: generate_ray_blocks(
@@ -70,21 +70,37 @@ def main():
 
     @jax.jit
     def shadow_rays_fn(g, rays):
+        """FORWARD shadow segments with per-ray light samples — the
+        megakernel's real workload (surface -> sampled light point)."""
+        from realtimeraytracer_tpu.ops import rng
+
         outf, _ = pb0.trace_blocks(g, cfg, rays, "closest")
         t = outf[:, 0, :]
         hit = t < 1e30
         ts = rays.shape[0]
-        light = jnp.asarray([0.0, 6.0, 0.0], jnp.float32)
-        px = rays[:, 0:3, :] + t[:, None, :] * rays[:, 3:6, :]
-        delta = px - light[None, :, None]
+        p = rays[:, 0:3, :] + t[:, None, :] * rays[:, 3:6, :]
+        seed = (jax.lax.broadcasted_iota(jnp.uint32, (ts, 128), 0)
+                * jnp.uint32(131)
+                + jax.lax.broadcasted_iota(jnp.uint32, (ts, 128), 1))
+        r1 = rng.uniform(seed)
+        r2 = rng.uniform(seed + jnp.uint32(100))
+        over = r1 + r2 > 1.0
+        r1 = jnp.where(over, 1.0 - r1, r1)
+        r2 = jnp.where(over, 1.0 - r2, r2)
+        p0 = g.lt_v0[0]
+        e1 = g.lt_v1[0] - p0
+        e2 = g.lt_v2[0] - p0
+        lpos = (p0[None, :, None] + r1[:, None, :] * e1[None, :, None]
+                + r2[:, None, :] * e2[None, :, None])
+        delta = lpos - p
         dist = jnp.sqrt(jnp.sum(delta * delta, axis=1, keepdims=True))
         sdir = delta / jnp.maximum(dist, 1e-9)
         span = dist[:, 0, :] - cfg.shadow_ray_margin
         good = hit & (span > 0)
         big = jnp.float32(3.0e38)
         return jnp.concatenate([
-            jnp.broadcast_to(light[None, :, None], (ts, 3, 128)), sdir,
-            jnp.where(good, 0.0, big)[:, None, :],
+            p, sdir,
+            jnp.where(good, cfg.t_min, big)[:, None, :],
             jnp.where(good, span, -big)[:, None, :]], axis=1)
 
     srays0 = shadow_rays_fn(gpu, rays0)
@@ -99,10 +115,10 @@ def main():
         return dt
 
     configs = [
-        ("closest fixed8 static ids", {"PB_ABLATE": "fixed8"},
-         "closest", rays0, None),
-        ("closest fixed8dyn dynamic ids", {"PB_ABLATE": "fixed8dyn"},
-         "closest", rays0, None),
+        ("shadow OPACK=1", {"PB_OPACK": 1}, "occluded", srays0, None),
+        ("shadow OPACK=2", {}, "occluded", srays0, None),
+        ("shadow OPACK=4", {"PB_OPACK": 4}, "occluded", srays0, None),
+        ("shadow OPACK=2 BT=16", {"PB_BT": 16}, "occluded", srays0, None),
     ]
     for tag, knobs, mode, rays, common in configs:
         pb = load_pb(**knobs)
