@@ -102,6 +102,17 @@ class RenderConfig:
     # incoherent bounce traces; off only for debugging.
     sort_bounces: bool = True
 
+    # Megakernel shadow-ray reordering: per light triangle, sort rays by
+    # (direction-to-light octant, shadow-origin Morton) and run the whole
+    # stochastic sample loop in sorted order (render/megakernel.py).
+    # Tile traversal pays the union of each 128-ray tile's shadow shaft;
+    # sorted tiles cost 2.6x less (83 vs 217 ms per trace at 1080p/100k).
+    # Result-invariant (per-ray RNG rides with the ray).  Only engages for
+    # batches >= sort_shadows_min_rays — below that the argsort + permute
+    # overhead exceeds the win.
+    sort_shadows: bool = True
+    sort_shadows_min_rays: int = 65536
+
     # Mip-mapped (trilinear) texture sampling with footprint-derived LOD
     # (image_sampler.cppm:11-51 parity).  Default off: the golden tests
     # compare exact base-level bilinear against the CPU reference, which

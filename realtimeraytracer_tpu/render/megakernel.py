@@ -50,6 +50,36 @@ from realtimeraytracer_tpu.render.surface import resolve_surface
 from realtimeraytracer_tpu.scene.gpu_scene import GPUScene
 
 
+def _shadow_sort_key(origin, to_light, active):
+    """Shadow-ray coherence key: direction-to-light octant (high 3 bits)
+    then a 3D Morton code of the shadow origin.
+
+    Tile traversal pays the UNION of each 128-ray tile's shadow shaft;
+    block-pixel-order tiles mix near/far surfaces and opposite-side
+    directions, so their shafts are fat.  On-chip A/B at 1080p/100k:
+    occlusion traces on octant+Morton-sorted rays cost 83 ms vs 217 ms
+    as-is (scripts/shadow_sort_probe.py; origin-Morton alone is 209 ms —
+    the octant split is what tightens the shafts).  Inactive lanes sort to
+    the end where their empty t-intervals retire whole tiles at once."""
+    lo = jnp.min(jnp.where(active[:, None], origin, 1e9), axis=0)
+    hi = jnp.max(jnp.where(active[:, None], origin, -1e9), axis=0)
+    ext = jnp.maximum(hi - lo, 1e-6)
+    q = jnp.clip((origin - lo) / ext * 31.0, 0, 31).astype(jnp.uint32)
+
+    def spread(v):
+        v = (v | (v << 8)) & jnp.uint32(0x0100FF)
+        v = (v | (v << 4)) & jnp.uint32(0x010C30C3)
+        v = (v | (v << 2)) & jnp.uint32(0x09249249)
+        return v
+
+    m = (spread(q[:, 0]) << 2) | (spread(q[:, 1]) << 1) | spread(q[:, 2])
+    oct_ = ((to_light[:, 0] > 0).astype(jnp.uint32)
+            + 2 * (to_light[:, 1] > 0).astype(jnp.uint32)
+            + 4 * (to_light[:, 2] > 0).astype(jnp.uint32))
+    key = (oct_ << 28) | (m & jnp.uint32(0x0FFFFFFF))
+    return jnp.where(active, key, jnp.uint32(0xFFFFFFFF))
+
+
 class SampleRadiance(NamedTuple):
     """Per-ray output of one primary-sample shade (raygen's accumulators)."""
 
@@ -120,14 +150,43 @@ def shade_sample(
         active = (lvalid & (ltwo | front)) & surf.valid            # (R,)
         active_f = active.astype(jnp.float32)[:, None]
 
+        # Shadow-ray reordering (see _shadow_sort_key): ONE argsort per
+        # light triangle, ONE wide-row pack gather in, ONE gather out —
+        # then all num_s samples trace AND shade in sorted order.  The
+        # per-ray RNG seed rides with the ray (bitcast into the packed
+        # row) so results are bit-identical to the unsorted path.
+        use_sort = cfg.sort_shadows and R >= cfg.sort_shadows_min_rays
+        if use_sort:
+            centroid = (p0 + p1 + p2) * (1.0 / 3.0)
+            key = _shadow_sort_key(shadow_origin, centroid[None, :] - p,
+                                   active)
+            order = jnp.argsort(key)
+            inv_order = jnp.argsort(order)
+            packed = jnp.concatenate([
+                p, n, view, lam, m_specular,
+                surf.roughness[:, None],
+                jax.lax.bitcast_convert_type(pixel_seed, jnp.float32)[:, None],
+                active.astype(jnp.float32)[:, None],
+            ], axis=1)[order]                                      # (R, 18)
+            ps, ns, views = packed[:, 0:3], packed[:, 3:6], packed[:, 6:9]
+            lams, m_specs = packed[:, 9:12], packed[:, 12:15]
+            roughs = packed[:, 15]
+            seeds = jax.lax.bitcast_convert_type(packed[:, 16], jnp.uint32)
+            actives = packed[:, 17] > 0.5
+            sos = ps + ns * cfg.shadow_origin_offset
+        else:
+            ps, ns, views, lams = p, n, view, lam
+            m_specs, roughs = m_specular, surf.roughness
+            seeds, actives, sos = pixel_seed, active, shadow_origin
+
         # Stochastic samples: python-unrolled over S so every tensor stays
         # (R, 3) / (R,).  (R, S, 3) shapes pad BOTH minor dims on TPU
         # (1->8, 3->128 = up to 340x layout blow-up in the loop body).
-        shadowed_sum = jnp.zeros_like(p)
-        unshadowed_sum = jnp.zeros_like(p)
+        shadowed_sum = jnp.zeros_like(ps)
+        unshadowed_sum = jnp.zeros_like(ps)
         for s in range(num_s):
             seed = (
-                pixel_seed
+                seeds
                 + jnp.uint32(s)
                 + lt_idx.astype(jnp.uint32) * jnp.uint32(7919)
                 + jnp.uint32(sample_index * 15485863)
@@ -143,7 +202,7 @@ def shade_sample(
                 + r1[:, None] * (p1 - p0)[None, :]
                 + r2[:, None] * (p2 - p0)[None, :]
             )                                                      # (R, 3)
-            delta = lpos - p
+            delta = lpos - ps
             dist = jnp.sqrt(jnp.maximum(jnp.sum(delta * delta, -1), 1e-20))
             sdir = delta / dist[..., None]
 
@@ -153,22 +212,23 @@ def shade_sample(
             # correct-segment traces cost ~2.6x LESS than the equivalent
             # light-end-origin parameterization (the surface-adjacent
             # segment end is unavoidable; ragged light-side ORIGINS
-            # additionally inflate every tile's cull box).  Invalid lanes
-            # (miss/light hits, position sanitized to 0) get an empty
+            # additionally inflate every tile's cull box).  INACTIVE lanes
+            # (miss/light hits, back side of a one-sided light — their
+            # contribution is zeroed below either way) get an empty
             # [BIG, -BIG) interval so the traversal retires them at once
             # instead of tracing garbage segments through the scene
             # (measured ~40% of the trace cost at 2/3 hit fraction).
             span = dist - cfg.shadow_ray_margin
-            t_lo = jnp.where(surf.valid, cfg.t_min, BIG_T)
-            t_hi = jnp.where(surf.valid, span, -BIG_T)
-            occ = backend.occluded(shadow_origin, sdir, t_lo, t_hi)
+            t_lo = jnp.where(actives, cfg.t_min, BIG_T)
+            t_hi = jnp.where(actives, span, -BIG_T)
+            occ = backend.occluded(sos, sdir, t_lo, t_hi)
             lit = jnp.where(occ, 0.0, 1.0)[:, None]
 
-            ndotl = jnp.maximum(jnp.sum(n * sdir, -1), 0.1)        # (R,)
+            ndotl = jnp.maximum(jnp.sum(ns * sdir, -1), 0.1)       # (R,)
             spec = cook_torrance_specular(
-                view, sdir, n, surf.roughness, m_specular
+                views, sdir, ns, roughs, m_specs
             )                                                      # (R, 3)
-            brdf = spec + lam
+            brdf = spec + lams
             atten = 1.0 / jnp.maximum(dist * dist, 1e-20)
             radiance = (
                 lcolor[None, :]
@@ -179,6 +239,10 @@ def shade_sample(
             contrib = brdf * radiance * inv_pdf
             shadowed_sum = shadowed_sum + lit * contrib
             unshadowed_sum = unshadowed_sum + contrib
+        if use_sort:
+            both = jnp.concatenate(
+                [shadowed_sum, unshadowed_sum], axis=1)[inv_order]
+            shadowed_sum, unshadowed_sum = both[:, 0:3], both[:, 3:6]
         shadowed_s = shadowed_sum * (1.0 / max(num_s, 1))
         unshadowed_s = unshadowed_sum * (1.0 / max(num_s, 1))
 
@@ -225,10 +289,13 @@ def shade_sample(
     # --- directional sun (raygen.rgen:288-338) ---------------------------
     sun_ndotl_raw = dot(n, gpu.sun_direction[None, :])
     sun_active = surf.valid & (sun_ndotl_raw > 0.0) & (gpu.sun_intensity > 0.0)
+    # Interval mask uses sun_active, not just surf.valid: lanes facing away
+    # from the sun have their contribution zeroed below either way, so give
+    # them empty segments and let the traversal retire them instantly.
     sun_occ = backend.occluded(
         shadow_origin, jnp.broadcast_to(gpu.sun_direction, (R, 3)),
-        jnp.where(surf.valid, cfg.t_min, BIG_T),
-        jnp.where(surf.valid, cfg.t_max, -BIG_T),
+        jnp.where(sun_active, cfg.t_min, BIG_T),
+        jnp.where(sun_active, cfg.t_max, -BIG_T),
         common="dir",   # every lane shares the sun direction
     )
     sun_lit = jnp.where(sun_occ, 0.0, 1.0)[:, None]
