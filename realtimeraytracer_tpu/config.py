@@ -23,7 +23,13 @@ class RenderConfig:
     primary_rays: int = 4           # jittered primary rays (spp)
     jitter: bool = True             # sub-pixel jitter (off for golden tests)
     shadow_rays: int = 3            # shadow samples per light-triangle per spp
-    max_bounces: int = 1            # wavefront path-trace depth (ref recursion=4)
+    # Wavefront path-trace depth.  The reference's ACTIVE pipeline traces
+    # exactly one surface bounce per primary ray (raygen.rgen dispatches
+    # shadow rays from the first hit only); its recursion limit of 4
+    # (ray_tracing_pipeline.cppm:144) is a pipeline *capability* bound used
+    # only by the legacy phong.rchit path.  max_bounces=1 therefore matches
+    # the active reference behavior; the wavefront supports any depth.
+    max_bounces: int = 1
 
     # Ray interval (reference: raygen.rgen:99-107).
     t_min: float = 1e-3
@@ -36,10 +42,12 @@ class RenderConfig:
     shadow_origin_offset: float = 0.01
 
     # Denoiser (reference: application.cppm:395-434,497-501; denoise.comp).
+    # phi defaults match the reference's per-dispatch push constants
+    # DenoisingInfo(step, 1.0, 0.001, 0.001) at application.cppm:406.
     denoise_iterations: int = 4
     denoise_c_phi: float = 1.0      # color edge-stopping phi
-    denoise_n_phi: float = 0.3      # normal phi
-    denoise_p_phi: float = 0.5      # position phi
+    denoise_n_phi: float = 0.001    # normal phi
+    denoise_p_phi: float = 0.001    # position phi
 
     # Tonemap: "aces" (analytic, ref raygen.rgen:51-59), "lut", or "none".
     tonemap: str = "aces"

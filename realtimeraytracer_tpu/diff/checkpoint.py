@@ -29,23 +29,34 @@ def save_checkpoint(path: str, state, step: int) -> None:
         log.warn("orbax save failed ({}); using npz fallback", e)
         flat, treedef = jax.tree.flatten(state)
         os.makedirs(path, exist_ok=True)
+        # Named keys: restore indexes leaves explicitly (leaf_{i}) instead
+        # of trusting zip member order to match the flatten order.
         np.savez(f"{path}/step_{step}.npz",
-                 *[np.asarray(x) for x in flat])
+                 **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(flat)})
 
 
 def restore_checkpoint(path: str, like, step: int):
-    """Restore a TrainState pytree with the structure of `like`."""
-    try:
+    """Restore a TrainState pytree with the structure of `like`.
+
+    Falls back to the npz format only when no orbax checkpoint directory
+    exists for the step; an orbax checkpoint that exists but fails to load
+    re-raises (masking real corruption with a silent fallback hides bugs).
+    """
+    orbax_dir = os.path.abspath(f"{path}/step_{step}")
+    npz_path = f"{path}/step_{step}.npz"
+    if os.path.isdir(orbax_dir):
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()
-        return ckptr.restore(os.path.abspath(f"{path}/step_{step}"),
-                             jax.tree.map(np.asarray, like))
-    except Exception:
-        data = np.load(f"{path}/step_{step}.npz")
-        flat, treedef = jax.tree.flatten(like)
-        restored = [data[k] for k in data.files]
-        return jax.tree.unflatten(treedef, restored)
+        return ckptr.restore(orbax_dir, jax.tree.map(np.asarray, like))
+    data = np.load(npz_path)
+    flat, treedef = jax.tree.flatten(like)
+    if len(data.files) != len(flat):
+        raise ValueError(
+            f"checkpoint {npz_path} holds {len(data.files)} leaves; "
+            f"restore target has {len(flat)}")
+    restored = [data[f"leaf_{i}"] for i in range(len(flat))]
+    return jax.tree.unflatten(treedef, restored)
 
 
 def latest_step(path: str) -> int | None:

@@ -59,6 +59,40 @@ def radiance_loss(params: dict, gpu: GPUScene, cfg: RenderConfig,
     return jnp.mean(err * err)
 
 
+def pipeline_loss(params: dict, gpu: GPUScene, cfg: RenderConfig,
+                  frame, frame_index, target) -> jnp.ndarray:
+    """MSE of the FULL pipeline image (trace + A-Trous denoise x N + ratio
+    combine, render/pipeline.py) against an (H, W, 3) target.
+
+    Gradients flow through the denoiser's edge-stopping weights and the
+    ratio combine as well as shading/intersection — BASELINE config 5 on
+    the complete frame, not just the analytic channel."""
+    from realtimeraytracer_tpu.render.megakernel import render_components
+    from realtimeraytracer_tpu.render.pipeline import denoise_and_combine
+
+    g = apply_params(gpu, params)
+    backend = make_backend(g, cfg)
+    comp = render_components(g, frame, cfg, frame_index, backend)
+    img = denoise_and_combine(comp, cfg)
+    err = img - target
+    return jnp.mean(err * err)
+
+
+def wavefront_loss(params: dict, gpu: GPUScene, cfg: RenderConfig,
+                   frame, frame_index, target) -> jnp.ndarray:
+    """MSE of the multi-bounce wavefront image (render/wavefront.py)
+    against an (H, W, 3) target — gradients flow through the NEE + GGX
+    path-tracing estimator (bounce directions/hit ids are detached; the
+    continuous shading recompute is differentiable)."""
+    from realtimeraytracer_tpu.render.wavefront import render_wavefront
+
+    g = apply_params(gpu, params)
+    backend = make_backend(g, cfg)
+    img = render_wavefront(g, frame, cfg, frame_index, backend)
+    err = img - target
+    return jnp.mean(err * err)
+
+
 class TrainState(NamedTuple):
     params: dict
     opt_state: optax.OptState
@@ -98,22 +132,55 @@ def make_train_step(cfg: RenderConfig, mesh: jax.sharding.Mesh,
 def fit(
     gpu: GPUScene,
     cfg: RenderConfig,
-    origins, dirs, pixel_seed, target,
+    origins=None, dirs=None, pixel_seed=None, target=None,
     param_names: tuple[str, ...] = ("obj_color",),
     mesh: jax.sharding.Mesh | None = None,
     learning_rate: float = 2e-2,
     steps: int = 100,
+    loss: str = "radiance",
+    frame=None,
+    frame_index: int = 0,
 ):
-    """Convenience inverse-rendering loop (BASELINE config 5 shape)."""
+    """Convenience inverse-rendering loop (BASELINE config 5 shape).
+
+    loss="radiance": analytic-channel MSE on explicit rays, sharded over
+    the ray mesh with psum'd gradients (the multi-chip path).
+    loss="pipeline" / "wavefront": full-image MSE through the complete
+    pipeline (denoise + ratio combine) or the multi-bounce path tracer;
+    pass `frame` (camera ViewportFrame) and an (H, W, 3) `target`.  The
+    A-Trous denoiser is a global image stencil, so these run as one
+    logical device (shard inside via cfg.tile_rays, not across rows).
+    """
     from realtimeraytracer_tpu.parallel.mesh import make_ray_mesh
 
-    mesh = mesh or make_ray_mesh()
     optimizer = optax.adam(learning_rate)
     params = extract_params(gpu, param_names)
     state = TrainState(params, optimizer.init(params))
-    step = jax.jit(make_train_step(cfg, mesh, optimizer))
+    if loss == "radiance":
+        mesh = mesh or make_ray_mesh()
+        step = jax.jit(make_train_step(cfg, mesh, optimizer))
+
+        def run(state):
+            return step(state, gpu, origins, dirs, pixel_seed, target)
+    else:
+        loss_fn = {"pipeline": pipeline_loss, "wavefront": wavefront_loss}[loss]
+        if frame is None:
+            raise ValueError(f"loss={loss!r} requires frame=")
+
+        @jax.jit
+        def image_step(state: TrainState, gpu, frame, target):
+            val, grads = jax.value_and_grad(loss_fn)(
+                state.params, gpu, cfg, frame, frame_index, target)
+            updates, opt_state = optimizer.update(
+                grads, state.opt_state, state.params)
+            return TrainState(
+                optax.apply_updates(state.params, updates), opt_state), val
+
+        def run(state):
+            return image_step(state, gpu, frame, target)
+
     losses = []
     for _ in range(steps):
-        state, loss = step(state, gpu, origins, dirs, pixel_seed, target)
-        losses.append(float(loss))
+        state, val = run(state)
+        losses.append(float(val))
     return state.params, losses

@@ -87,11 +87,12 @@ def atrous_denoise(
     position: jnp.ndarray,
     iterations: int = 4,
     c_phi: float = 1.0,
-    n_phi: float = 0.3,
-    p_phi: float = 0.5,
+    n_phi: float = 0.001,
+    p_phi: float = 0.001,
 ) -> jnp.ndarray:
     """Full denoise: iterations passes with step_width = 1..iterations
-    (application.cppm:398-433 passes step_width = i+1)."""
+    (application.cppm:398-433 passes step_width = i+1; phi defaults are the
+    reference's push constants at application.cppm:406)."""
     out = color
     for i in range(iterations):
         out = atrous_iteration(out, normal, position, i + 1, c_phi, n_phi, p_phi)

@@ -25,7 +25,12 @@ import jax.numpy as jnp
 
 from realtimeraytracer_tpu.ops.vecmath import cross, dot
 
-BIG_T = jnp.float32(3.0e38)
+# numpy scalar, NOT jnp: a module-scope jnp constant initializes the XLA
+# backend at import time, which breaks jax.distributed.initialize for every
+# importer (tests/test_multihost.py found this).
+import numpy as _np
+
+BIG_T = _np.float32(3.0e38)
 
 
 class HitRecord(NamedTuple):

@@ -21,8 +21,15 @@ def aces_film(x: jnp.ndarray) -> jnp.ndarray:
 
 def linear_to_srgb(x: jnp.ndarray, gamma: float = 2.2) -> jnp.ndarray:
     """Simple power-law gamma (the reference uses pow(1/2.2), not the
-    piecewise sRGB EOTF — raygen.rgen:45-49)."""
-    return jnp.power(jnp.maximum(x, 0.0), 1.0 / gamma)
+    piecewise sRGB EOTF — raygen.rgen:45-49).
+
+    Double-where guard: pow(x, 1/2.2) has an INFINITE derivative at x=0
+    (every black pixel), which NaN-poisons full-pipeline gradients
+    (diff/optimize.pipeline_loss).  The guard is forward-identical —
+    x > 0 takes the same pow; x <= 0 returns the same 0.0 — but the
+    untaken branch's infinity can no longer leak into the VJP."""
+    safe = jnp.where(x > 0.0, x, 1.0)
+    return jnp.where(x > 0.0, jnp.power(safe, 1.0 / gamma), 0.0)
 
 
 def srgb_to_linear(x: jnp.ndarray, gamma: float = 2.2) -> jnp.ndarray:

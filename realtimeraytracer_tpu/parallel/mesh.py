@@ -12,6 +12,8 @@ multi-host slices — only the mesh construction differs.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 import jax
@@ -37,13 +39,19 @@ def initialize_multihost(**kwargs) -> None:
     host of the slice, then build the mesh over jax.devices() (which then
     spans all hosts).
     """
-    if jax.process_count() > 1:
+    # Do NOT touch jax.process_count()/jax.devices() here: any backend
+    # query initializes JAX single-process and makes the distributed init
+    # below fail (found by tests/test_multihost.py — the r2 version did
+    # exactly that and silently swallowed the resulting RuntimeError).
+    from jax._src import distributed as _dist
+
+    if _dist.global_state.client is not None:
         return  # already initialized
-    try:
-        jax.distributed.initialize(**kwargs)
-    except (ValueError, RuntimeError):
-        # Single-process environment (no coordinator configured): fine.
-        pass
+    if not kwargs and "JAX_COORDINATOR_ADDRESS" not in os.environ:
+        # Nothing configures a coordinator: single-process run, skip quietly
+        # (auto-detection would raise inside clusters we are not in).
+        return
+    jax.distributed.initialize(**kwargs)
 
 
 def pad_to_multiple(n: int, m: int) -> int:

@@ -92,12 +92,16 @@ def make_backend(gpu: GPUScene, cfg: RenderConfig) -> TraceBackend:
             kind = "pallas" if jax.default_backend() == "tpu" else "wide"
         else:
             kind = "brute"
-    if kind in ("packet", "lane", "wide", "pallas") and not gpu.has_bvh:
+    if kind in ("packet", "lane", "wide", "pallas", "hier") and not gpu.has_bvh:
         kind = "brute"
     if kind == "pallas":
         from realtimeraytracer_tpu.render.pallas_backend import make_pallas_backend
 
         backend = make_pallas_backend(gpu, cfg)
+    elif kind == "hier":
+        from realtimeraytracer_tpu.render.hier_backend import make_hier_backend
+
+        backend = make_hier_backend(gpu, cfg)
     elif kind == "wide":
         from realtimeraytracer_tpu.render.wide_backend import make_wide_backend
 

@@ -134,7 +134,6 @@ def shade_sample(
     lam = lambert_diffuse(surf.albedo, surf.metallic)  # (R, 3)
 
     num_s = cfg.shadow_rays
-    valid_f = surf.valid.astype(jnp.float32)[:, None]
 
     # --- per-light-triangle loop (raygen.rgen:164-285), scanned ----------
     def light_tri_step(carry, lt):

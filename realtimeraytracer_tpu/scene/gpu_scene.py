@@ -59,7 +59,8 @@ class GPUScene(NamedTuple):
     sun_intensity: jnp.ndarray  # () f32
 
     # --- environment ------------------------------------------------------
-    hdri: jnp.ndarray         # (He, We, 3) f32 linear; (1,1,3) constant if none
+    hdri: jnp.ndarray         # (He, We, 3) f32, sRGB-ENCODED (the sampler
+                              # applies miss.rmiss:26 ToLinear); (1,1,3) if none
     env_color: jnp.ndarray    # (3,) f32 multiplier on the HDRI sample
 
     # --- LTC lookup tables (64x64x4) -------------------------------------

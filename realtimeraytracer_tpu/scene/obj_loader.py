@@ -286,15 +286,120 @@ def load_texture_file(path: str, grayscale: bool = False) -> np.ndarray:
     return np.ascontiguousarray(arr)
 
 
-def load_hdr(path: str) -> np.ndarray:
-    """Decode a radiance .hdr (or any float image) to (H, W, 3) float32
-    (the reference's HDRI sky, application.cppm:250)."""
-    import imageio.v2 as imageio
+def decode_radiance_hdr(data: bytes) -> np.ndarray:
+    """Decode Radiance RGBE (.hdr) bytes to linear (H, W, 3) float32.
 
-    arr = np.asarray(imageio.imread(path)).astype(np.float32)
-    if arr.ndim == 2:
-        arr = np.repeat(arr[..., None], 3, -1)
-    return np.ascontiguousarray(arr[..., :3])
+    Pure-NumPy equivalent of stb_image's HDR decoder (the reference's sky
+    loader, file.cppm:280 / application.cppm:250): handles the adaptive
+    (new-style) per-component RLE scanlines, flat RGBE scanlines, and
+    old-style repeat pixels.  Conversion uses stb's c * 2^(e-136) form.
+    imageio silently falls back to an 8-bit PIL path for .hdr in this
+    environment (measured: uint8 output), so a real decoder is required.
+    """
+    if not (data.startswith(b"#?RADIANCE") or data.startswith(b"#?RGBE")):
+        raise ValueError("not a Radiance HDR file (missing #? magic)")
+    # Header: lines until the first empty line, then the resolution line.
+    pos = 0
+    while True:
+        nl = data.index(b"\n", pos)
+        line = data[pos:nl]
+        pos = nl + 1
+        if line == b"":
+            break
+    nl = data.index(b"\n", pos)
+    res = data[pos:nl].split()
+    pos = nl + 1
+    if len(res) != 4 or res[0] not in (b"-Y", b"+Y") or res[2] != b"+X":
+        raise ValueError(f"unsupported HDR resolution line: {res!r}")
+    h, w = int(res[1]), int(res[3])
+    top_down = res[0] == b"-Y"      # -Y: first scanline is the top row
+
+    buf = np.frombuffer(data, np.uint8, offset=pos)
+    out = np.zeros((h, w, 4), np.uint8)
+    p = 0
+    for y in range(h):
+        if (w >= 8 and w < 32768 and p + 4 <= len(buf)
+                and buf[p] == 2 and buf[p + 1] == 2
+                and (int(buf[p + 2]) << 8 | int(buf[p + 3])) == w):
+            # New-style: 4 components, each RLE-coded across the scanline.
+            p += 4
+            for c in range(4):
+                x = 0
+                while x < w:
+                    count = int(buf[p]); p += 1
+                    if count > 128:                      # run
+                        out[y, x:x + count - 128, c] = buf[p]
+                        p += 1
+                        x += count - 128
+                    else:                                # literal
+                        out[y, x:x + count, c] = buf[p:p + count]
+                        p += count
+                        x += count
+                if x != w:
+                    raise ValueError(f"HDR RLE overrun at scanline {y}")
+        else:
+            # Flat RGBE, with old-style (1,1,1,count) repeat pixels.
+            x = 0
+            while x < w:
+                px = buf[p:p + 4]; p += 4
+                if px[0] == 1 and px[1] == 1 and px[2] == 1 and x > 0:
+                    n = int(px[3])
+                    out[y, x:x + n] = out[y, x - 1]
+                    x += n
+                else:
+                    out[y, x] = px
+                    x += 1
+    rgbe = out.astype(np.float32)
+    e = out[..., 3].astype(np.int32)
+    scale = np.where(e > 0, np.ldexp(1.0, e - 136), 0.0).astype(np.float32)
+    rgb = rgbe[..., :3] * scale[..., None]
+    if not top_down:
+        rgb = rgb[::-1]
+    return np.ascontiguousarray(rgb)
+
+
+def encode_radiance_hdr(rgb: np.ndarray) -> bytes:
+    """Encode linear (H, W, 3) float32 to flat (non-RLE) Radiance bytes —
+    round-trip fixture generator for decode_radiance_hdr tests/demos."""
+    rgb = np.asarray(rgb, np.float32)
+    h, w = rgb.shape[:2]
+    m = rgb.max(-1)
+    nz = m > 1e-32
+    fr, ex = np.frexp(np.where(nz, m, 1.0))
+    scale = np.where(nz, fr * 256.0 / np.where(nz, m, 1.0), 0.0)
+    rgbe = np.zeros((h, w, 4), np.uint8)
+    rgbe[..., :3] = np.clip(rgb * scale[..., None], 0, 255).astype(np.uint8)
+    rgbe[..., 3] = np.where(nz, ex + 128, 0).astype(np.uint8)
+    head = b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n" + f"-Y {h} +X {w}\n".encode()
+    return head + rgbe.tobytes()
+
+
+def load_hdr(path: str, tone_encode: bool = True) -> np.ndarray:
+    """Load an HDRI sky to (H, W, 3) float32, oriented and encoded for
+    GPUScene.hdri (the reference's sky path, application.cppm:250).
+
+    The reference loads its .hdr through stb's 8-BIT path with vertical
+    flip (createTextureImage at file.cppm:272-291: stbi_load applies
+    hdr-to-ldr pow(1/2.2) + clamp), then the miss shader re-linearizes
+    with ToLinear (miss.rmiss:13,26).  tone_encode=True reproduces that
+    contract in float32 (deviation, documented in PARITY.md: no 8-bit
+    quantization), so sample_equirect + srgb_to_linear round-trips to
+    clamp(linear, 0, 1).  tone_encode=False returns raw linear radiance
+    (flipped) for pipelines that skip the decode.
+    """
+    if path.lower().endswith(".hdr"):
+        rgb = decode_radiance_hdr(open(path, "rb").read())
+    else:
+        import imageio.v2 as imageio
+
+        rgb = np.asarray(imageio.imread(path)).astype(np.float32)
+        if rgb.ndim == 2:
+            rgb = np.repeat(rgb[..., None], 3, -1)
+        rgb = rgb[..., :3]
+    rgb = rgb[::-1]  # flip: row 0 = bottom, so v=1-acos(y)/pi maps up to sky
+    if tone_encode:
+        rgb = np.clip(rgb, 0.0, 1.0) ** (1.0 / 2.2)
+    return np.ascontiguousarray(rgb.astype(np.float32))
 
 
 def load_obj_scene(scene, obj_path: str, mtl_path: str | None = None,

@@ -147,3 +147,40 @@ def procedural_mesh(num_tris: int = 10_000, seed: int = 0,
     if sun:
         scene.add(DirectionalLight())
     return scene
+
+
+def make_sky_gradient(height: int = 64, width: int = 128,
+                      sun_dir=(0.3, 0.8, 0.5)) -> np.ndarray:
+    """Synthetic sRGB-encoded equirect sky: horizon-to-zenith gradient with
+    a warm sun disk — a stand-in for the reference's sky4k.hdr (not shipped
+    in its repo, SURVEY.md appendix).  Same storage contract as load_hdr
+    (row 0 = bottom, v = 1 - acos(y)/pi points up)."""
+    v = (np.arange(height, dtype=np.float32) + 0.5) / height      # 0=down
+    u = (np.arange(width, dtype=np.float32) + 0.5) / width
+    theta = (1.0 - v) * np.pi                                      # from +y
+    phi = (u - 0.5) * 2.0 * np.pi
+    y = np.cos(theta)[:, None] * np.ones((1, width), np.float32)
+    x = np.sin(theta)[:, None] * np.cos(phi)[None, :]
+    z = np.sin(theta)[:, None] * np.sin(phi)[None, :]
+    horizon = np.array([0.85, 0.85, 0.95], np.float32)
+    zenith = np.array([0.25, 0.45, 0.9], np.float32)
+    tt = np.clip(y, 0.0, 1.0)[..., None]
+    sky = horizon * (1 - tt) + zenith * tt
+    ground = np.array([0.35, 0.3, 0.25], np.float32)
+    sky = np.where(y[..., None] < 0.0, ground, sky)
+    s = np.asarray(sun_dir, np.float32)
+    s = s / np.linalg.norm(s)
+    cosang = x * s[0] + y * s[1] + z * s[2]
+    disk = np.clip((cosang - 0.995) / 0.005, 0.0, 1.0)[..., None]
+    sun = np.array([1.0, 0.95, 0.8], np.float32)
+    return np.clip(sky * (1 - disk) + sun * disk, 0.0, 1.0).astype(np.float32)
+
+
+def sky_sphere() -> Scene:
+    """Sphere + plane under a full HDRI environment (miss.rmiss parity):
+    the reference's signature visual is its equirect sky on primary-ray
+    miss (application.cppm:250, miss.rmiss:21-26)."""
+    scene = sphere_plane()
+    scene.hdri = make_sky_gradient()
+    scene.env_color = (1.0, 1.0, 1.0)
+    return scene

@@ -1,4 +1,7 @@
-"""Find which shadow-ray FIELD blows up visit counts: build the megakernel
+"""[STALE round-1 probe — kept as measurement archaeology; written against
+older kernel internals and may no longer run against the current kernel.]
+
+Find which shadow-ray FIELD blows up visit counts: build the megakernel
 (K) and block-native (E) shadow rays for the same frame, then trace hybrids
 swapping one field group at a time."""
 

@@ -1,4 +1,7 @@
-"""Test cheaper (R,3)->(Ts,8,128) pack formulations feeding pallas_call.
+"""[STALE round-1 probe — kept as measurement archaeology; written against
+older kernel internals and may no longer run against the current kernel.]
+
+Test cheaper (R,3)->(Ts,8,128) pack formulations feeding pallas_call.
 
 F  per-component stride-3 slice -> (Ts,1,128) -> concat axis=1
 G  reshape (R,3)->(Ts,128,3) then transpose(0,2,1) (one local transpose)

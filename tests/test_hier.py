@@ -1,0 +1,109 @@
+"""v8 hierarchical traversal kernel vs brute force + v7 equivalence
+(interpret mode on CPU).  render/hier_backend.py."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from realtimeraytracer_tpu.config import RenderConfig
+from realtimeraytracer_tpu.ops import intersect
+from realtimeraytracer_tpu.scene.geometry import TriangleMesh
+from realtimeraytracer_tpu.scene.scene import Scene
+
+
+def _gpu(n, seed=0):
+    r = np.random.default_rng(seed)
+    base = r.uniform(-4, 4, (n, 1, 3))
+    tris = (base + r.normal(0, 0.3, (n, 3, 3))).astype(np.float32)
+    verts = tris.reshape(-1, 3)
+    faces = np.arange(3 * n, dtype=np.int32).reshape(n, 3)
+    s = Scene()
+    s.add(TriangleMesh(vertices=verts, faces=faces))
+    return s.compile(bvh_threshold=0)
+
+
+def _rays(n, seed=1):
+    r = np.random.default_rng(seed)
+    o = r.uniform(-6, 6, (n, 3)).astype(np.float32)
+    d = r.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+CFG = RenderConfig()
+
+
+class TestHierKernel:
+    def test_closest_exact_vs_brute(self):
+        from realtimeraytracer_tpu.render.hier_backend import hier_closest
+
+        gpu = _gpu(700)
+        o, d = _rays(512)
+        got = hier_closest(gpu, CFG, o, d, 1e-3, 1e4)
+        want = intersect.intersect_tris_bruteforce(
+            o, d, gpu.vertices, gpu.faces, 1e-3, 1e4)
+        np.testing.assert_array_equal(np.asarray(got.prim_id >= 0),
+                                      np.asarray(want.prim_id >= 0))
+        hit = np.asarray(want.prim_id >= 0)
+        np.testing.assert_array_equal(np.asarray(got.prim_id)[hit],
+                                      np.asarray(want.prim_id)[hit])
+        np.testing.assert_allclose(np.asarray(got.t)[hit],
+                                   np.asarray(want.t)[hit], rtol=1e-3)
+
+    def test_occluded_exact_vs_brute(self):
+        from realtimeraytracer_tpu.render.hier_backend import hier_occluded
+
+        gpu = _gpu(500, seed=3)
+        o, d = _rays(300, seed=4)           # non-multiple of tile
+        tmax = jnp.full((300,), 3.0)
+        got = hier_occluded(gpu, CFG, o, d, 1e-3, tmax)
+        want = intersect.occluded_tris_bruteforce(
+            o, d, gpu.vertices, gpu.faces, 1e-3, tmax)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_multi_super_scene(self):
+        """>16384 tris forces multiple superclusters through L1."""
+        from realtimeraytracer_tpu.render.hier_backend import hier_closest
+
+        gpu = _gpu(17000, seed=5)
+        o, d = _rays(256, seed=6)
+        got = hier_closest(gpu, CFG, o, d, 1e-3, 1e4)
+        want = intersect.intersect_tris_bruteforce(
+            o, d, gpu.vertices, gpu.faces, 1e-3, 1e4)
+        np.testing.assert_array_equal(np.asarray(got.prim_id >= 0),
+                                      np.asarray(want.prim_id >= 0))
+        hit = np.asarray(want.prim_id >= 0)
+        np.testing.assert_allclose(np.asarray(got.t)[hit],
+                                   np.asarray(want.t)[hit], rtol=1e-3)
+
+    @pytest.mark.parametrize("common", [None, "origin", "dir"])
+    def test_matches_v7_kernel(self, common):
+        """v8 must agree with v7 (which itself is brute-equal) under every
+        collapsed-dot fast path."""
+        from realtimeraytracer_tpu.render.hier_backend import hier_closest
+        from realtimeraytracer_tpu.render.pallas_backend import pallas_closest
+
+        gpu = _gpu(900, seed=7)
+        o, d = _rays(256, seed=8)
+        if common == "origin":
+            o = jnp.broadcast_to(o[:1], o.shape)
+        elif common == "dir":
+            d = jnp.broadcast_to(d[:1], d.shape)
+        got = hier_closest(gpu, CFG, o, d, 1e-3, 1e4, common=common)
+        want = pallas_closest(gpu, CFG, o, d, 1e-3, 1e4, common=common)
+        np.testing.assert_array_equal(np.asarray(got.prim_id),
+                                      np.asarray(want.prim_id))
+        np.testing.assert_array_equal(np.asarray(got.t), np.asarray(want.t))
+
+    def test_render_through_hier_backend(self):
+        """End-to-end shading over the v8 backend."""
+        from realtimeraytracer_tpu import RenderConfig as RC, render, scenes
+
+        cfg = RC(width=32, height=32, primary_rays=1, jitter=False,
+                 shadow_rays=1, denoise_iterations=0, backend="hier")
+        img = np.asarray(render(scenes.procedural_mesh(500, sun=True), cfg))
+        cfg_b = cfg.replace(backend="brute", use_bvh=False)
+        ref = np.asarray(render(scenes.procedural_mesh(500, sun=True), cfg_b))
+        err = np.abs(img - ref)
+        assert np.isfinite(img).all()
+        assert (err > 2e-3).mean() < 5e-3
