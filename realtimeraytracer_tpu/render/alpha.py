@@ -118,4 +118,5 @@ def wrap_backend_with_alpha(backend: TraceBackend, gpu: GPUScene,
 
     return TraceBackend(closest=closest, occluded=occluded,
                         num_tris=backend.num_tris,
-                        num_spheres=backend.num_spheres)
+                        num_spheres=backend.num_spheres,
+                        perray_cull=backend.perray_cull)

@@ -30,6 +30,10 @@ class TraceBackend(NamedTuple):
     occluded: Callable
     num_tris: int
     num_spheres: int
+    # True when the backend culls per RAY (render/hier_backend.py): tile
+    # shaft fatness no longer matters, so callers skip their octant+Morton
+    # ray reordering (the sort+permute overhead buys nothing).
+    perray_cull: bool = False
 
 
 def _merge_sphere_hits(tri_hit: intersect.HitRecord,
@@ -80,19 +84,58 @@ def make_bruteforce_backend(gpu: GPUScene, cfg: RenderConfig) -> TraceBackend:
                         num_tris=num_tris, num_spheres=num_spheres)
 
 
+def make_hybrid_backend(gpu: GPUScene, cfg: RenderConfig) -> TraceBackend:
+    """Route each trace class to its measured-fastest Mosaic kernel.
+
+    1080p/100k v5e measurements (scripts/hier_shadow_probe.py, r3):
+
+      | trace                      | v7 hull cull | v8 per-ray |
+      |----------------------------|-------------:|-----------:|
+      | closest, common origin/dir |      65.3 ms |    99.7 ms |
+      | closest, incoherent        |      2311 ms |    1392 ms |
+      | occluded (area shadows)    | 221 (88 srt) |      91 ms |
+
+    Coherent pinhole/sun bundles keep v7 (the tile hull is already tight
+    and the collapsed-dot algebra is cheaper); everything incoherent gets
+    v8's per-ray hierarchy, which also makes shadow-ray sorting
+    unnecessary (perray_cull=True — megakernel/wavefront skip their
+    octant+Morton permutes).
+    """
+    from realtimeraytracer_tpu.render.hier_backend import make_hier_backend
+    from realtimeraytracer_tpu.render.pallas_backend import make_pallas_backend
+
+    v7 = make_pallas_backend(gpu, cfg)
+    v8 = make_hier_backend(gpu, cfg)
+
+    def closest(origins, dirs, t_min, t_max, common=None):
+        be = v7 if common in ("origin", "dir") else v8
+        return be.closest(origins, dirs, t_min, t_max, common=common)
+
+    def occluded(origins, dirs, t_min, t_max, common=None):
+        be = v7 if common == "dir" else v8
+        return be.occluded(origins, dirs, t_min, t_max, common=common)
+
+    return TraceBackend(closest=closest, occluded=occluded,
+                        num_tris=v8.num_tris, num_spheres=v8.num_spheres,
+                        perray_cull=True)
+
+
 def make_backend(gpu: GPUScene, cfg: RenderConfig) -> TraceBackend:
     kind = cfg.backend
     if kind == "auto":
         if cfg.use_bvh and gpu.has_bvh:
-            # The Mosaic kernel is the fast path on TPU; the wide XLA
-            # backend is its portable twin elsewhere (same culling, same
-            # stop rule).
+            # The Mosaic kernels are the fast path on TPU ("hybrid": v7
+            # hull-cull for coherent common-origin/dir traces, v8 per-ray
+            # hierarchy for shadow/bounce traces — each measured fastest
+            # on its ray class, PERF.md r3); the wide XLA backend is the
+            # portable twin elsewhere (same culling, same stop rule).
             import jax
 
-            kind = "pallas" if jax.default_backend() == "tpu" else "wide"
+            kind = "hybrid" if jax.default_backend() == "tpu" else "wide"
         else:
             kind = "brute"
-    if kind in ("packet", "lane", "wide", "pallas", "hier") and not gpu.has_bvh:
+    if kind in ("packet", "lane", "wide", "pallas", "hier",
+                "hybrid") and not gpu.has_bvh:
         kind = "brute"
     if kind == "pallas":
         from realtimeraytracer_tpu.render.pallas_backend import make_pallas_backend
@@ -101,7 +144,9 @@ def make_backend(gpu: GPUScene, cfg: RenderConfig) -> TraceBackend:
     elif kind == "hier":
         from realtimeraytracer_tpu.render.hier_backend import make_hier_backend
 
-        backend = make_hier_backend(gpu, cfg)
+        backend = make_hier_backend(gpu, cfg)._replace(perray_cull=True)
+    elif kind == "hybrid":
+        backend = make_hybrid_backend(gpu, cfg)
     elif kind == "wide":
         from realtimeraytracer_tpu.render.wide_backend import make_wide_backend
 

@@ -52,6 +52,7 @@ from realtimeraytracer_tpu.render.backends import TraceBackend, _merge_sphere_hi
 from realtimeraytracer_tpu.render.pallas_backend import (
     CB,
     CROWS,
+    PACK,
     RESIDENT_CB,
     _pack_rays,
     pack_clusters,
@@ -117,7 +118,8 @@ def pack_hierarchy(cl_min, cl_max):
 
 
 def _tile_body(b, rays_ref, sup_ref, blk_ref, coeff_ref, outf_ref, outi_ref,
-               sk_ref, cbuf, sems, *, cb, nsup, mode, common, resident):
+               sk_ref, cbuf, sems, *, cb, nsup, mode, common, resident,
+               pack):
     """Full hierarchical trace of ONE 128-ray tile (index b in the step)."""
     rays = rays_ref[b]                              # (8, 128)
     tmin_c = rays[6, :][:, None]                    # (128, 1)
@@ -212,9 +214,22 @@ def _tile_body(b, rays_ref, sup_ref, blk_ref, coeff_ref, outf_ref, outi_ref,
         sk_ref[...] = jnp.where(e == m, INVALID, e)
         return m
 
-    def pop_block(bkeys):
-        m = jnp.min(bkeys)
-        return m, jnp.where(bkeys == m, INVALID, bkeys)
+    def pop_blocks(bkeys):
+        """Pop `pack` near-minimal keys (v7's lane-distinct multi-pop).
+
+        The FIRST popped is the true minimum (the inner stop rule stays
+        exact); later ones are merely near-minimal, which only perturbs
+        visit order.  Amortizes the while-loop cond + scalar machinery
+        over `pack` visits — v7 measured PACK=2 best for closest,
+        OPACK=4 for occlusion (candidates must be exhausted anyway).
+        """
+        ms = []
+        e = bkeys
+        for _ in range(pack):
+            m = jnp.min(e)
+            ms.append(m)
+            e = jnp.where(e == m, INVALID, e)
+        return tuple(ms), e
 
     def visit(cid, best_t, best_k):
         c = coeff_ref[cid]
@@ -249,22 +264,27 @@ def _tile_body(b, rays_ref, sup_ref, blk_ref, coeff_ref, outf_ref, outi_ref,
         # L2: per-ray block cull of this super, window clipped by best_t.
         bkeys = cull(blk_ref[sid], jnp.minimum(best_t, tmax_c), 0)
         nxt_s = pop_super()                     # pop-ahead: overlaps below
-        nextb, bkeys = pop_block(bkeys)
+        nextg, bkeys = pop_blocks(bkeys)
 
         def inner_cond(st2):
-            nextb, _, best_t, _, _ = st2
-            return (nextb != INVALID) & ((nextb & ~SMASK) <= worst_of(best_t))
+            nextg, _, best_t, _, _ = st2
+            return ((nextg[0] != INVALID)
+                    & ((nextg[0] & ~SMASK) <= worst_of(best_t)))
 
         def inner_body(st2):
-            nextb, bkeys, best_t, best_k, visits = st2
-            cid = sid * SUP + jnp.minimum(nextb & SMASK, SUP - 1)
-            best_t, best_k = visit(cid, best_t, best_k)
-            nextb, bkeys = pop_block(bkeys)
-            return nextb, bkeys, best_t, best_k, visits + 1
+            nextg, bkeys, best_t, best_k, visits = st2
+            # Popped INVALID group members clamp to block 0 of this super
+            # — a redundant (harmless) visit at the candidate-list tail,
+            # the same trade v7 makes.
+            for m in nextg:
+                cid = sid * SUP + jnp.minimum(m & SMASK, SUP - 1)
+                best_t, best_k = visit(cid, best_t, best_k)
+            nextg, bkeys = pop_blocks(bkeys)
+            return nextg, bkeys, best_t, best_k, visits + pack
 
         _, _, best_t, best_k, visits = jax.lax.while_loop(
             inner_cond, inner_body,
-            (nextb, bkeys, best_t, best_k, visits))
+            (nextg, bkeys, best_t, best_k, visits))
         return nxt_s, best_t, best_k, visits, oiters + 1
 
     init = (
@@ -293,13 +313,13 @@ def nsup_pages(nsup: int) -> int:
 
 
 def _trace_kernel(rays_ref, sup_ref, blk_ref, coeff_ref, outf_ref, outi_ref,
-                  sk_ref, *, cb, nsup, mode, common, resident):
+                  sk_ref, *, cb, nsup, mode, common, resident, pack):
     jax.lax.fori_loop(
         0, BT,
         lambda b, _: _tile_body(b, rays_ref, sup_ref, blk_ref, coeff_ref,
                                 outf_ref, outi_ref, sk_ref, None, None,
                                 cb=cb, nsup=nsup, mode=mode, common=common,
-                                resident=resident),
+                                resident=resident, pack=pack),
         jnp.int32(0))
 
 
@@ -335,7 +355,13 @@ def trace_blocks_hier(gpu: GPUScene, cfg: RenderConfig, ray_blocks, mode,
         ray_blocks = jnp.concatenate([ray_blocks, pad_blk])
     tsp = ts + pad
 
-    kw = dict(cb=cb, nsup=nsup, mode=mode, common=common, resident=resident)
+    # Unlike v7 (OPACK=4), v8's per-ray-exact candidate lists are SHORT,
+    # so multi-pop overshoot wastes more than it amortizes on occlusion
+    # (measured: 91 ms pack=1 vs 116 ms pack=4 at 1080p/100k); closest
+    # keeps v7's PACK=2 (bounce traces: 1639 -> 1392 ms).
+    pack = PACK if mode == "closest" else 1
+    kw = dict(cb=cb, nsup=nsup, mode=mode, common=common, resident=resident,
+              pack=pack)
     outf, outi = pl.pallas_call(
         functools.partial(_trace_kernel, **kw),
         grid=(tsp // BT,),

@@ -154,7 +154,11 @@ def shade_sample(
         # then all num_s samples trace AND shade in sorted order.  The
         # per-ray RNG seed rides with the ray (bitcast into the packed
         # row) so results are bit-identical to the unsorted path.
-        use_sort = cfg.sort_shadows and R >= cfg.sort_shadows_min_rays
+        # Per-ray-culling backends (hier/hybrid) are immune to tile shaft
+        # fatness — sorting buys nothing and the permutes cost ~30 ms per
+        # light (PERF.md r3), so skip.
+        use_sort = (cfg.sort_shadows and R >= cfg.sort_shadows_min_rays
+                    and not backend.perray_cull)
         if use_sort:
             centroid = (p0 + p1 + p2) * (1.0 / 3.0)
             key = _shadow_sort_key(shadow_origin, centroid[None, :] - p,

@@ -179,6 +179,10 @@ def trace_paths(
     pix = jnp.arange(R, dtype=jnp.int32)
     seeds = pixel_seed
 
+    # v8's per-ray cull helps most on incoherent rays, but bounce batches
+    # are SO incoherent that Morton reordering still pays even there
+    # (sorted v8: 1392 ms vs v7 2311 ms at 1080p/100k) — keep sorting
+    # regardless of backend.perray_cull.
     for bounce in range(cfg.max_bounces + 1):
         if cfg.sort_bounces and bounce >= 1:
             order = jnp.argsort(

@@ -75,6 +75,23 @@ class TriangleMesh(Transformable):
 
 
 @dataclasses.dataclass
+class MeshInstance(Transformable):
+    """One placement of a SHARED TriangleMesh (BLAS-instancing parity:
+    geometry_builder.cppm:178-198 builds one BLAS per unique mesh and
+    tlas.cppm:60-67 instances it with per-instance transforms + custom
+    index).  Instances of the same mesh object share geometry, BVH order
+    and traversal panels at compile — N instances cost ~1x mesh memory.
+
+    material=None inherits the mesh's material; a non-None material gives
+    this instance its own object-table row (the reference's per-instance
+    ObjectInfo)."""
+
+    mesh: TriangleMesh = None
+    material: Material | None = None
+    name: str = ""
+
+
+@dataclasses.dataclass
 class Sphere(Transformable):
     center: tuple[float, float, float] = (0.0, 0.0, 0.0)
     radius: float = 1.0

@@ -105,6 +105,27 @@ class GPUScene(NamedTuple):
     tex_mip_atlas: jnp.ndarray | None = None   # (T, 2S, S, 4) f32
     face_uv_density: jnp.ndarray | None = None # (F,) f32
 
+    # --- shared-geometry instancing (one BLAS-analogue per unique mesh,
+    # instanced N x with per-instance transforms + object rows — parity
+    # with geometry_builder.cppm:178-198 + tlas.cppm:60-67).  When these
+    # are set (scene compiled with instances), `vertices/normals/faces`
+    # are MESH-SPACE pools shared by all instances; traversal runs in
+    # mesh space per instance (render/hier_backend.py) and the surface
+    # resolver applies the per-instance transform (render/surface.py). ---
+    inst_inv: jnp.ndarray | None = None      # (I, 12) f32 world->mesh [R|t]
+    inst_fwd: jnp.ndarray | None = None      # (I, 12) f32 mesh->world [R|t]
+    inst_obj: jnp.ndarray | None = None      # (I,) i32 object-table row
+    pair_panel: jnp.ndarray | None = None    # (PP, 8, 128) f32 world AABBs
+                                             # per (instance, super) pair
+    pair_tab: jnp.ndarray | None = None      # (PPx128, 4) i32 rows
+                                             # [inst, blk_panel, block_base, valid]
+    blk_panel: jnp.ndarray | None = None     # (NSUP, 8, 128) f32 mesh-space
+                                             # block AABBs per super
+
+    @property
+    def instanced(self) -> bool:
+        return self.inst_inv is not None
+
     @property
     def has_bvh(self) -> bool:
         return self.bvh_node_min.shape[0] > 1
