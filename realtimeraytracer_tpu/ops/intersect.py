@@ -40,6 +40,9 @@ class HitRecord(NamedTuple):
     prim_id: jnp.ndarray  # triangle index into the global soup (-1 if miss)
     u: jnp.ndarray        # barycentric u (weight of v1)
     v: jnp.ndarray        # barycentric v (weight of v2)
+    # Instance id for shared-geometry scenes (render/hier_backend.py);
+    # None on non-instanced paths, -1 for misses/spheres.
+    inst: jnp.ndarray | None = None
 
     @property
     def hit(self) -> jnp.ndarray:

@@ -29,6 +29,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
+from realtimeraytracer_tpu.ops.intersect import BIG_T
 from realtimeraytracer_tpu.scene.gpu_scene import GPUScene
 
 
@@ -169,3 +170,49 @@ def translate(mat_table: jnp.ndarray, obj_id: int, offset) -> jnp.ndarray:
     """Functional helper: return the table with obj_id translated."""
     offset = jnp.asarray(offset, jnp.float32)
     return mat_table.at[obj_id, :3, 3].add(offset)
+
+
+def apply_instance_transforms(gpu: GPUScene,
+                              transforms: jnp.ndarray) -> GPUScene:
+    """Move instances of a SHARED-geometry scene, fully in-graph.
+
+    transforms: (I, 4, 4) mesh->world matrices (same instance order as
+    compile).  Because instancing keeps geometry in mesh space, animation
+    touches only the tiny per-instance tables: forward/inverse rows and
+    the (instance, super) world AABBs — no vertex transform, no panel
+    re-pack, no BVH refit.  This is the TLAS::updateTransform/refit
+    capability (tlas.cppm:151-207) at its natural cost.
+
+    Light/sphere geometry is not instance-driven here; use
+    apply_transforms on baked scenes to animate those.
+    """
+    if not gpu.instanced:
+        raise ValueError("apply_instance_transforms needs an instanced "
+                         "scene (compile with MeshInstance objects)")
+    t = jnp.asarray(transforms, jnp.float32)
+    fwd = jnp.concatenate(
+        [t[:, :3, :3].reshape(-1, 9), t[:, :3, 3]], axis=1)
+    inv_m = jnp.linalg.inv(t)
+    inv = jnp.concatenate(
+        [inv_m[:, :3, :3].reshape(-1, 9), inv_m[:, :3, 3]], axis=1)
+
+    # World AABB per pair: transform the 8 mesh-space corners.
+    pm = gpu.pair_mesh_aabb                       # (P, 6)
+    pinst = gpu.pair_tab[:, 0]
+    pt = t[jnp.clip(pinst, 0, t.shape[0] - 1)]    # (P, 4, 4)
+    corners = jnp.stack([
+        jnp.stack([pm[:, 3 * (i & 1)], pm[:, 1 + 3 * ((i >> 1) & 1)],
+                   pm[:, 2 + 3 * ((i >> 2) & 1)]], axis=-1)
+        for i in range(8)
+    ], axis=1)                                    # (P, 8, 3)
+    wc = jnp.einsum("pij,pcj->pci", pt[:, :3, :3], corners) + pt[:, None, :3, 3]
+    valid = (gpu.pair_tab[:, 3] == 1)[:, None]
+    lo = jnp.where(valid, wc.min(axis=1), BIG_T)
+    hi = jnp.where(valid, wc.max(axis=1), -BIG_T)
+    pp = gpu.pair_panel.shape[0]
+    panel = jnp.concatenate([
+        lo.reshape(pp, 128, 3).transpose(0, 2, 1),
+        hi.reshape(pp, 128, 3).transpose(0, 2, 1),
+        jnp.zeros((pp, 2, 128), jnp.float32),
+    ], axis=1)
+    return gpu._replace(inst_fwd=fwd, inst_inv=inv, pair_panel=panel)

@@ -29,6 +29,16 @@ actually needs, occluded/retired rays (empty windows) stop contributing,
 and total work is proportional to per-ray-relevant geometry, not scene
 size.  No candidate-key tensor leaves the kernel at all.
 
+**Shared-geometry instancing** (GPUScene.instanced): the top level
+becomes (instance, supercluster) pairs with world-space AABBs.  Popping
+a pair reads the instance's inverse transform from SMEM and transforms
+the tile's ray columns into MESH space once (~30 VPU ops); block culls
+and visits then run against the instance's shared mesh-space panels.
+Ray parameters stay world-valid because directions are NOT renormalized
+— t is invariant under the affine map — so best-t ordering and the stop
+rule work globally across instances.  Parity: one BLAS per unique mesh,
+instanced N x (geometry_builder.cppm:178-198, tlas.cppm:60-67).
+
 Capability parity: replaces traceRayEXT's hardware BLAS/TLAS descent
 (src/shaders/raygen.rgen:99-107; src/vulkan/raytracing/blas.cppm:75-167,
 tlas.cppm:44-149) with a TPU-shaped hierarchy: levels are 128-wide AABB
@@ -68,7 +78,11 @@ BIG = 3.0e38
 EPS = 1e-12
 INVALID = 0x7F800000  # +inf bits: "no candidate left"
 SMASK = 0x3FF         # low bits carrying ids inside packed entry keys
-SPAGES = 8            # supercluster key rows in scratch: 8*128 supers max
+SPAGES = 8            # L1 key rows in scratch: 8*128 supers/pairs max
+
+
+def nsup_pages(n: int) -> int:
+    return -(-n // 128)
 
 
 def pack_hierarchy(cl_min, cl_max):
@@ -77,8 +91,8 @@ def pack_hierarchy(cl_min, cl_max):
     blk_panels (NSUP, 8, 128): rows [minx,miny,minz,maxx,maxy,maxz,0,0],
     lanes = block index within the super.  sup_panel (SPAGES, 8, 128):
     lanes = supercluster index (page-major).  Invalid lanes carry
-    (+BIG, -BIG) so every slab test fails.  Works under jit (refit path)
-    and on host numpy alike.
+    (+BIG, -BIG) boxes, masked by the cull's box-validity row.  Works
+    under jit (refit path) and on host numpy alike.
     """
     xp = jnp if isinstance(cl_min, jnp.ndarray) else np
     c32 = cl_min.shape[0]
@@ -118,23 +132,35 @@ def pack_hierarchy(cl_min, cl_max):
 
 
 def _tile_body(b, rays_ref, sup_ref, blk_ref, coeff_ref, outf_ref, outi_ref,
-               sk_ref, cbuf, sems, *, cb, nsup, mode, common, resident,
-               pack):
-    """Full hierarchical trace of ONE 128-ray tile (index b in the step)."""
+               sk_ref, cbuf, sems, tab_ref, inv_ref, *, cb, nl1, mode,
+               common, resident, pack, instanced):
+    """Full hierarchical trace of ONE 128-ray tile (index b in the step).
+
+    nl1: number of valid L1 entries (superclusters, or (instance, super)
+    pairs when instanced).
+    """
     rays = rays_ref[b]                              # (8, 128)
     tmin_c = rays[6, :][:, None]                    # (128, 1)
     tmax_c = rays[7, :][:, None]
 
-    ocol = [rays[a, :][:, None] for a in range(3)]
-    dcol = [rays[3 + a, :][:, None] for a in range(3)]
-    # Per-ray inverse directions with the parallel-axis guard: axes where
-    # |d| <= EPS conservatively pass every slab (exactness is load-bearing;
-    # false positives only cost visits).
-    dflag = [jnp.abs(dcol[a]) <= EPS for a in range(3)]
-    invd = [1.0 / jnp.where(dflag[a], 1.0, dcol[a]) for a in range(3)]
+    # World-space ray columns (L1 culls always run in world space).
+    wo = [rays[a, :][:, None] for a in range(3)]
+    wd = [rays[3 + a, :][:, None] for a in range(3)]
 
-    # Visit-math ray columns (v7's collapsed-dot fast paths).
-    vocol, vdcol = ocol, dcol
+    def derive(dcols):
+        """Parallel-axis flags + guarded inverse directions for a slab
+        test: axes where |d| <= EPS conservatively pass every slab
+        (exactness is load-bearing; false positives only cost visits)."""
+        fl = [jnp.abs(dcols[a]) <= EPS for a in range(3)]
+        iv = [1.0 / jnp.where(fl[a], 1.0, dcols[a]) for a in range(3)]
+        return iv, fl
+
+    winv, wfl = derive(wd)
+
+    # Visit-math ray columns for the NON-instanced path (v7's
+    # collapsed-dot fast paths; instanced visits use per-pair transformed
+    # columns instead).
+    vocol, vdcol = wo, wd
     if common == "origin":
         vocol = [rays[a, 0:1][:, None] for a in range(3)]
     elif common == "dir":
@@ -143,7 +169,7 @@ def _tile_body(b, rays_ref, sup_ref, blk_ref, coeff_ref, outf_ref, outi_ref,
     lane_t = jax.lax.broadcasted_iota(I32, (TILE, CB), 1)
     lane_row = jax.lax.broadcasted_iota(I32, (1, 128), 1)
 
-    def cull(panel, limit, base_id):
+    def cull(panel, limit, base_id, oc, iv, fl):
         """(128 rays) x (128 boxes) slab test -> packed (1, 128) keys.
 
         panel: (8, 128) AABB rows; limit: (128, 1) per-ray upper window
@@ -155,17 +181,17 @@ def _tile_body(b, rays_ref, sup_ref, blk_ref, coeff_ref, outf_ref, outi_ref,
         for a in range(3):
             bmin = panel[a:a + 1, :]                 # (1, 128)
             bmax = panel[3 + a:4 + a, :]
-            t0 = (bmin - ocol[a]) * invd[a]          # (128, 128)
-            t1 = (bmax - ocol[a]) * invd[a]
-            na = jnp.where(dflag[a], -BIG, jnp.minimum(t0, t1))
-            fa = jnp.where(dflag[a], BIG, jnp.maximum(t0, t1))
+            t0 = (bmin - oc[a]) * iv[a]              # (128, 128)
+            t1 = (bmax - oc[a]) * iv[a]
+            na = jnp.where(fl[a], -BIG, jnp.minimum(t0, t1))
+            fa = jnp.where(fl[a], BIG, jnp.maximum(t0, t1))
             near = na if near is None else jnp.maximum(near, na)
             far = fa if far is None else jnp.minimum(far, fa)
         # Pad lanes carry INVERTED boxes (+BIG, -BIG) — the reordered slab
         # test (min/max of t0,t1) would PASS them for every ray with
-        # near=-inf, making 113 phantom entry-0 candidates per panel that
-        # pop before all real geometry (measured: 128 outer iterations and
-        # ~14k visits/tile at 16 real blocks).  Mask them explicitly.
+        # near=-inf, making phantom entry-0 candidates that pop before all
+        # real geometry (measured: 128 outer iterations and ~14k
+        # visits/tile at 16 real blocks).  Mask them explicitly.
         valid = panel[0:1, :] <= panel[3:4, :]       # (1, 128)
         ok = valid & (near <= far) & (far >= tmin_c) & (near <= limit)
         ent = jnp.where(ok, jnp.maximum(near, 0.0), jnp.float32(jnp.inf))
@@ -174,18 +200,21 @@ def _tile_body(b, rays_ref, sup_ref, blk_ref, coeff_ref, outf_ref, outi_ref,
             | (lane_row + base_id)
         return jnp.where(jnp.isfinite(emin), key, INVALID)
 
-    def intersect_block(c):
-        """Baldwin-Weber t of 128 rays x this block's 128 tris (v7 math)."""
+    def intersect_block(c, oc, dc):
+        """Baldwin-Weber t of 128 rays x this block's 128 tris (v7 math).
+
+        c: (12, 128) rows [n | -nA | r1 | -r1A | r2 | -r2A]; oc/dc: ray
+        columns ((128,1) or collapsed (1,1))."""
         def dot_o(base):
-            return (vocol[0] * c[base + 0:base + 1]
-                    + vocol[1] * c[base + 1:base + 2]
-                    + vocol[2] * c[base + 2:base + 3]
+            return (oc[0] * c[base + 0:base + 1]
+                    + oc[1] * c[base + 1:base + 2]
+                    + oc[2] * c[base + 2:base + 3]
                     + c[base + 3:base + 4])
 
         def dot_d(base):
-            return (vdcol[0] * c[base + 0:base + 1]
-                    + vdcol[1] * c[base + 1:base + 2]
-                    + vdcol[2] * c[base + 2:base + 3])
+            return (dc[0] * c[base + 0:base + 1]
+                    + dc[1] * c[base + 1:base + 2]
+                    + dc[2] * c[base + 2:base + 3])
 
         s0, s1 = dot_o(0), dot_d(0)
         den_ok = jnp.abs(s1) > EPS
@@ -201,14 +230,13 @@ def _tile_body(b, rays_ref, sup_ref, blk_ref, coeff_ref, outf_ref, outi_ref,
             jnp.minimum(best_t, tmax_c), I32)
         return jnp.max(limit_bits)
 
-    # ---- L1: per-ray supercluster cull over the static pages ----------
-    limit0 = tmax_c
-    for sp in range(nsup_pages(nsup)):
-        sk_ref[sp] = cull(sup_ref[sp], limit0, sp * 128)[0]
-    for sp in range(nsup_pages(nsup), SPAGES):
+    # ---- L1: per-ray cull of supers / (instance, super) pairs ----------
+    for sp in range(nsup_pages(nl1)):
+        sk_ref[sp] = cull(sup_ref[sp], tmax_c, sp * 128, wo, winv, wfl)[0]
+    for sp in range(nsup_pages(nl1), SPAGES):
         sk_ref[sp] = jnp.full((128,), INVALID, I32)
 
-    def pop_super():
+    def pop_l1():
         e = sk_ref[...]
         m = jnp.min(e)
         sk_ref[...] = jnp.where(e == m, INVALID, e)
@@ -220,9 +248,7 @@ def _tile_body(b, rays_ref, sup_ref, blk_ref, coeff_ref, outf_ref, outi_ref,
         The FIRST popped is the true minimum (the inner stop rule stays
         exact); later ones are merely near-minimal, which only perturbs
         visit order.  Amortizes the while-loop cond + scalar machinery
-        over `pack` visits — v7 measured PACK=2 best for closest,
-        OPACK=4 for occlusion (candidates must be exhausted anyway).
-        """
+        over `pack` visits."""
         ms = []
         e = bkeys
         for _ in range(pack):
@@ -231,9 +257,8 @@ def _tile_body(b, rays_ref, sup_ref, blk_ref, coeff_ref, outf_ref, outi_ref,
             e = jnp.where(e == m, INVALID, e)
         return tuple(ms), e
 
-    def visit(cid, best_t, best_k):
-        c = coeff_ref[cid]
-        t, ok = intersect_block(c)
+    def visit(cid, c, oc, dc, inst, best_t, best_k, best_i):
+        t, ok = intersect_block(c, oc, dc)
         if mode == "closest":
             limit = jnp.minimum(best_t, tmax_c)
             ok = ok & (t <= limit)
@@ -247,54 +272,104 @@ def _tile_body(b, rays_ref, sup_ref, blk_ref, coeff_ref, outf_ref, outi_ref,
                 better,
                 jax.lax.bitcast_convert_type(kbest & ~127, F32), best_t)
             best_k = jnp.where(better, tri, best_k)
+            if instanced:
+                best_i = jnp.where(better, inst, best_i)
         else:
             ok = ok & (t <= tmax_c)
             hit_any = jnp.any(ok, axis=1, keepdims=True)
             best_t = jnp.where(hit_any, -BIG, best_t)
-        return best_t, best_k
+        return best_t, best_k, best_i
+
+    def dma(slot, u, cid):
+        return pltpu.make_async_copy(coeff_ref.at[cid], cbuf.at[slot, u],
+                                     sems.at[slot, u])
 
     # ---- nested ordered-pop loops --------------------------------------
     def outer_cond(st):
-        nexts, best_t, best_k, visits, oiters = st
+        nexts, best_t, best_k, best_i, visits, oiters = st
         return (nexts != INVALID) & ((nexts & ~SMASK) <= worst_of(best_t))
 
     def outer_body(st):
-        nexts, best_t, best_k, visits, oiters = st
-        sid = jnp.minimum(nexts & SMASK, nsup - 1)
-        # L2: per-ray block cull of this super, window clipped by best_t.
-        bkeys = cull(blk_ref[sid], jnp.minimum(best_t, tmax_c), 0)
-        nxt_s = pop_super()                     # pop-ahead: overlaps below
+        nexts, best_t, best_k, best_i, visits, oiters = st
+        l1 = jnp.minimum(nexts & SMASK, nl1 - 1)
+        if instanced:
+            # (instance, super) pair: fetch the instance transform and
+            # this super's mesh-space panel/coefficient bases from SMEM,
+            # then transform the tile's ray columns into mesh space ONCE.
+            inst = tab_ref[l1, 0]
+            bp = tab_ref[l1, 1]
+            bbase = tab_ref[l1, 2]
+            ir = [inv_ref[inst, k] for k in range(12)]
+            oc = [ir[3 * i + 0] * wo[0] + ir[3 * i + 1] * wo[1]
+                  + ir[3 * i + 2] * wo[2] + ir[9 + i] for i in range(3)]
+            dc = [ir[3 * i + 0] * wd[0] + ir[3 * i + 1] * wd[1]
+                  + ir[3 * i + 2] * wd[2] for i in range(3)]
+            iv, fl = derive(dc)
+            panel = blk_ref[bp]
+            voc, vdc = oc, dc
+        else:
+            inst = jnp.int32(0)
+            bbase = l1 * SUP
+            oc, iv, fl = wo, winv, wfl
+            panel = blk_ref[l1]
+            voc, vdc = vocol, vdcol
+        # L2: per-ray block cull, window clipped by the live best_t.
+        bkeys = cull(panel, jnp.minimum(best_t, tmax_c), 0, oc, iv, fl)
+        nxt_l1 = pop_l1()                  # pop-ahead: overlaps below
         nextg, bkeys = pop_blocks(bkeys)
+        if not resident:
+            # HBM coefficient path (scenes > RESIDENT_CB blocks): start
+            # the first group's copies; each iteration starts the NEXT
+            # group into the other buffer slot before waiting on the
+            # current — v7's double-buffering, per 6 KB block.
+            for u in range(pack):
+                dma(0, u, bbase + jnp.minimum(nextg[u] & SMASK, SUP - 1)
+                    ).start()
 
         def inner_cond(st2):
-            nextg, _, best_t, _, _ = st2
+            nextg, _, _, best_t, _, _, _ = st2
             return ((nextg[0] != INVALID)
                     & ((nextg[0] & ~SMASK) <= worst_of(best_t)))
 
         def inner_body(st2):
-            nextg, bkeys, best_t, best_k, visits = st2
+            nextg, g, bkeys, best_t, best_k, best_i, visits = st2
             # Popped INVALID group members clamp to block 0 of this super
             # — a redundant (harmless) visit at the candidate-list tail,
             # the same trade v7 makes.
-            for m in nextg:
-                cid = sid * SUP + jnp.minimum(m & SMASK, SUP - 1)
-                best_t, best_k = visit(cid, best_t, best_k)
-            nextg, bkeys = pop_blocks(bkeys)
-            return nextg, bkeys, best_t, best_k, visits + pack
+            nxt, bkeys = pop_blocks(bkeys)
+            if not resident:
+                for u in range(pack):
+                    dma(1 - g, u,
+                        bbase + jnp.minimum(nxt[u] & SMASK, SUP - 1)).start()
+                for u in range(pack):
+                    dma(g, u,
+                        bbase + jnp.minimum(nextg[u] & SMASK, SUP - 1)).wait()
+            for u, m in enumerate(nextg):
+                cid = bbase + jnp.minimum(m & SMASK, SUP - 1)
+                c = coeff_ref[cid] if resident else cbuf[g, u]
+                best_t, best_k, best_i = visit(
+                    cid, c, voc, vdc, inst, best_t, best_k, best_i)
+            return nxt, 1 - g, bkeys, best_t, best_k, best_i, visits + pack
 
-        _, _, best_t, best_k, visits = jax.lax.while_loop(
+        endg, g_end, _, best_t, best_k, best_i, visits = jax.lax.while_loop(
             inner_cond, inner_body,
-            (nextg, bkeys, best_t, best_k, visits))
-        return nxt_s, best_t, best_k, visits, oiters + 1
+            (nextg, jnp.int32(0), bkeys, best_t, best_k, best_i, visits))
+        if not resident:
+            # The exit iteration's group was started but never waited on.
+            for u in range(pack):
+                dma(g_end, u,
+                    bbase + jnp.minimum(endg[u] & SMASK, SUP - 1)).wait()
+        return nxt_l1, best_t, best_k, best_i, visits, oiters + 1
 
     init = (
-        pop_super(),
+        pop_l1(),
         jnp.full((TILE, 1), BIG, F32),
+        jnp.full((TILE, 1), -1, I32),
         jnp.full((TILE, 1), -1, I32),
         jnp.int32(0),
         jnp.int32(0),
     )
-    _, best_t, best_k, visits, oiters = jax.lax.while_loop(
+    _, best_t, best_k, best_i, visits, oiters = jax.lax.while_loop(
         outer_cond, outer_body, init)
 
     if mode == "closest":
@@ -305,21 +380,26 @@ def _tile_body(b, rays_ref, sup_ref, blk_ref, coeff_ref, outf_ref, outi_ref,
     outf_ref[b, 2, :] = jnp.zeros((TILE,), F32)
     outi_ref[b, 0, :] = best_k[:, 0]
     outi_ref[b, 1, :] = jnp.full((TILE,), 1, I32) * visits
+    outi_ref[b, 2, :] = best_i[:, 0]
     return jnp.int32(0)
 
 
-def nsup_pages(nsup: int) -> int:
-    return -(-nsup // 128)
-
-
-def _trace_kernel(rays_ref, sup_ref, blk_ref, coeff_ref, outf_ref, outi_ref,
-                  sk_ref, *, cb, nsup, mode, common, resident, pack):
+def _trace_kernel(rays_ref, sup_ref, blk_ref, coeff_ref, *rest, cb, nl1,
+                  mode, common, resident, pack, instanced):
+    rest = list(rest)
+    tab_ref = rest.pop(0) if instanced else None
+    inv_ref = rest.pop(0) if instanced else None
+    outf_ref, outi_ref, sk_ref = rest[0], rest[1], rest[2]
+    cbuf = rest[3] if not resident else None
+    sems = rest[4] if not resident else None
     jax.lax.fori_loop(
         0, BT,
         lambda b, _: _tile_body(b, rays_ref, sup_ref, blk_ref, coeff_ref,
-                                outf_ref, outi_ref, sk_ref, None, None,
-                                cb=cb, nsup=nsup, mode=mode, common=common,
-                                resident=resident, pack=pack),
+                                outf_ref, outi_ref, sk_ref, cbuf, sems,
+                                tab_ref, inv_ref,
+                                cb=cb, nl1=nl1, mode=mode, common=common,
+                                resident=resident, pack=pack,
+                                instanced=instanced),
         jnp.int32(0))
 
 
@@ -330,22 +410,37 @@ def trace_blocks_hier(gpu: GPUScene, cfg: RenderConfig, ray_blocks, mode,
     Same contract as pallas_backend.trace_blocks: outf rows
     [t | outer-iterations | -] ('closest') or [occluded-flag |
     outer-iterations | -]; outi rows [sorted-tri id or -1 | visited-block
-    count].  Row 1's outer-iteration (supercluster-pop) count is a
-    diagnostics channel for perf probes.
+    count | instance id].  Row outf[1]'s L1-pop count is a diagnostics
+    channel for perf probes.
     """
     ts = ray_blocks.shape[0]
+    instanced = gpu.instanced
     if gpu.pallas_panels is not None and gpu.pallas_panels.shape[1] == CROWS:
         coeff = gpu.pallas_panels
         cl_min, cl_max = gpu.pallas_cl_min, gpu.pallas_cl_max
     else:
         coeff, cl_min, cl_max = pack_clusters(gpu)
     cb = coeff.shape[0]
-    nsup = -(-cb // SUP)
-    sup_panel, blk_panels = pack_hierarchy(cl_min, cl_max)
+    if instanced:
+        # L1 = (instance, super) pairs with world AABBs; mesh-space block
+        # panels come precompiled from the instanced scene compile.
+        blk_panels = gpu.blk_panel
+        pp = gpu.pair_panel.shape[0]
+        sup_panel = jnp.concatenate([
+            gpu.pair_panel,
+            jnp.broadcast_to(
+                jnp.concatenate([jnp.full((1, 3, 128), BIG_T, F32),
+                                 jnp.full((1, 3, 128), -BIG_T, F32),
+                                 jnp.zeros((1, 2, 128), F32)], axis=1),
+                (SPAGES - pp, 8, 128)),
+        ]) if pp < SPAGES else gpu.pair_panel
+        # nl1 must be static: use the padded tab length (pad rows carry
+        # inverted pair AABBs, so they never pop).
+        nl1 = gpu.pair_tab.shape[0]
+    else:
+        sup_panel, blk_panels = pack_hierarchy(cl_min, cl_max)
+        nl1 = -(-cb // SUP)
     resident = cb <= RESIDENT_CB
-    if not resident:
-        raise NotImplementedError(
-            "v8 HBM coefficient path lands with the scaling rung")
 
     pad = (-ts) % BT
     if pad:
@@ -360,18 +455,32 @@ def trace_blocks_hier(gpu: GPUScene, cfg: RenderConfig, ray_blocks, mode,
     # (measured: 91 ms pack=1 vs 116 ms pack=4 at 1080p/100k); closest
     # keeps v7's PACK=2 (bounce traces: 1639 -> 1392 ms).
     pack = PACK if mode == "closest" else 1
-    kw = dict(cb=cb, nsup=nsup, mode=mode, common=common, resident=resident,
-              pack=pack)
+    kw = dict(cb=cb, nl1=nl1, mode=mode, common=common, resident=resident,
+              pack=pack, instanced=instanced)
+    # Coefficients stay in VMEM up to RESIDENT_CB blocks; bigger scenes
+    # keep them in HBM and the inner loop double-buffers per-visit DMAs.
+    coeff_spec = (pl.BlockSpec(memory_space=pltpu.VMEM) if resident
+                  else pl.BlockSpec(memory_space=pltpu.ANY))
+    in_specs = [
+        pl.BlockSpec((BT, 8, TILE), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # sup/pair panel pages
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # blk panels
+        coeff_spec,
+    ]
+    inputs = [ray_blocks, sup_panel, blk_panels, coeff]
+    if instanced:
+        in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM),   # pair_tab
+                     pl.BlockSpec(memory_space=pltpu.SMEM)]   # inst_inv
+        inputs += [gpu.pair_tab, gpu.inst_inv]
+    scratch = [pltpu.VMEM((SPAGES, 128), I32)]
+    if not resident:
+        scratch += [pltpu.VMEM((2, pack, CROWS, CB), F32),
+                    pltpu.SemaphoreType.DMA((2, pack))]
     outf, outi = pl.pallas_call(
         functools.partial(_trace_kernel, **kw),
         grid=(tsp // BT,),
-        in_specs=[
-            pl.BlockSpec((BT, 8, TILE), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # sup_panel
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # blk_panels
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # coeff (resident)
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((BT, 8, TILE), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -382,9 +491,9 @@ def trace_blocks_hier(gpu: GPUScene, cfg: RenderConfig, ray_blocks, mode,
             jax.ShapeDtypeStruct((tsp, 8, TILE), F32),
             jax.ShapeDtypeStruct((tsp, 8, TILE), I32),
         ],
-        scratch_shapes=[pltpu.VMEM((SPAGES, 128), I32)],
+        scratch_shapes=scratch,
         interpret=jax.default_backend() != "tpu",
-    )(ray_blocks, sup_panel, blk_panels, coeff)
+    )(*inputs)
     return outf[:ts], outi[:ts]
 
 
@@ -396,22 +505,24 @@ def _run(gpu, cfg, origins, dirs, t_min, t_max, mode, common=None):
     outf, outi = trace_blocks_hier(gpu, cfg, rays, mode, common=common)
     tb = outf[:, 0, :].reshape(-1)[:r_orig]
     kb = outi[:, 0, :].reshape(-1)[:r_orig]
-    return tb, kb
+    ib = outi[:, 2, :].reshape(-1)[:r_orig]
+    return tb, kb, ib
 
 
 def hier_closest(gpu, cfg, origins, dirs, t_min, t_max,
                  common=None) -> HitRecord:
-    tb, kb = _run(gpu, cfg, origins, dirs, t_min, t_max, "closest",
-                  common=common)
+    tb, kb, ib = _run(gpu, cfg, origins, dirs, t_min, t_max, "closest",
+                      common=common)
     orig = jnp.where(kb >= 0, kb, -1)
     z = jnp.zeros_like(tb)
-    return HitRecord(t=tb, prim_id=orig.astype(I32), u=z, v=z)
+    inst = ib.astype(I32) if gpu.instanced else None
+    return HitRecord(t=tb, prim_id=orig.astype(I32), u=z, v=z, inst=inst)
 
 
 def hier_occluded(gpu, cfg, origins, dirs, t_min, t_max,
                   common=None) -> jnp.ndarray:
-    tb, _ = _run(gpu, cfg, origins, dirs, t_min, t_max, "occluded",
-                 common=common)
+    tb, _, _ = _run(gpu, cfg, origins, dirs, t_min, t_max, "occluded",
+                    common=common)
     return tb > 0.5
 
 
@@ -439,4 +550,5 @@ def make_hier_backend(gpu: GPUScene, cfg: RenderConfig) -> TraceBackend:
         return occ
 
     return TraceBackend(closest=closest, occluded=occluded,
-                        num_tris=num_tris, num_spheres=num_spheres)
+                        num_tris=num_tris, num_spheres=num_spheres,
+                        perray_cull=True)

@@ -71,6 +71,32 @@ def resolve_surface(gpu: GPUScene, hit: HitRecord,
     )                                        # (F, 25)
     g = face_row[tid]                        # (R, 25) — the one big gather
     v0, v1, v2 = g[..., 0:3], g[..., 3:6], g[..., 6:9]
+
+    # --- shared-geometry instances: pools are MESH-SPACE; apply the
+    # per-ray instance transform (tlas.cppm:60-67 parity; the traversal
+    # returned hit.inst).  One (I, 21) row gather carries [fwd R|t |
+    # inv R] — points by fwd, normals by inv^T (correct under non-uniform
+    # scale). -------------------------------------------------------------
+    inst_tr = None
+    if gpu.instanced:
+        n_inst = gpu.inst_fwd.shape[0]
+        inst_ids = hit.inst if hit.inst is not None else jnp.zeros_like(tid)
+        iid = jnp.clip(inst_ids, 0, n_inst - 1)
+        trow = jnp.concatenate([gpu.inst_fwd, gpu.inst_inv[:, :9]], axis=1)
+        inst_tr = trow[iid]                  # (R, 21)
+
+        def _xf_pt(p):
+            t = inst_tr
+            return jnp.stack([
+                t[:, 0] * p[:, 0] + t[:, 1] * p[:, 1] + t[:, 2] * p[:, 2]
+                + t[:, 9],
+                t[:, 3] * p[:, 0] + t[:, 4] * p[:, 1] + t[:, 5] * p[:, 2]
+                + t[:, 10],
+                t[:, 6] * p[:, 0] + t[:, 7] * p[:, 1] + t[:, 8] * p[:, 2]
+                + t[:, 11],
+            ], axis=-1)
+
+        v0, v1, v2 = _xf_pt(v0), _xf_pt(v1), _xf_pt(v2)
     # Recompute (u, v) differentiably from the SELECTED triangle: the
     # discrete hit choice stays non-differentiable (straight-through), but
     # barycentrics/positions carry exact gradients to gpu.vertices even when
@@ -84,11 +110,27 @@ def resolve_surface(gpu: GPUScene, hit: HitRecord,
     w1 = hit_u[..., None]
     w2 = hit_v[..., None]
     tri_pos = v0 * w0 + v1 * w1 + v2 * w2
-    tri_nrm = normalize(
-        g[..., 9:12] * w0 + g[..., 12:15] * w1 + g[..., 15:18] * w2)
+    nrm_raw = g[..., 9:12] * w0 + g[..., 12:15] * w1 + g[..., 15:18] * w2
+    if inst_tr is not None:
+        # normal' = inv^T n (inverse-transpose; inv rows at cols 12..21)
+        iv = inst_tr[:, 12:21]
+        nrm_raw = jnp.stack([
+            iv[:, 0] * nrm_raw[:, 0] + iv[:, 3] * nrm_raw[:, 1]
+            + iv[:, 6] * nrm_raw[:, 2],
+            iv[:, 1] * nrm_raw[:, 0] + iv[:, 4] * nrm_raw[:, 1]
+            + iv[:, 7] * nrm_raw[:, 2],
+            iv[:, 2] * nrm_raw[:, 0] + iv[:, 5] * nrm_raw[:, 1]
+            + iv[:, 8] * nrm_raw[:, 2],
+        ], axis=-1)
+    tri_nrm = normalize(nrm_raw)
     tri_uv = (
         g[..., 18:20] * w0 + g[..., 20:22] * w1 + g[..., 22:24] * w2)
-    tri_obj = g[..., 24].astype(jnp.int32)   # exact for < 2^24 objects
+    if gpu.instanced:
+        # per-instance material row (the reference's per-instance
+        # ObjectInfo) instead of the per-face channel.
+        tri_obj = gpu.inst_obj[iid]
+    else:
+        tri_obj = g[..., 24].astype(jnp.int32)   # exact for < 2^24 objects
 
     # --- sphere attributes ------------------------------------------------
     if num_spheres:

@@ -121,6 +121,8 @@ class GPUScene(NamedTuple):
                                              # [inst, blk_panel, block_base, valid]
     blk_panel: jnp.ndarray | None = None     # (NSUP, 8, 128) f32 mesh-space
                                              # block AABBs per super
+    pair_mesh_aabb: jnp.ndarray | None = None  # (PPx128, 6) f32 mesh-space
+                                               # super AABB per pair (refit)
 
     @property
     def instanced(self) -> bool:
