@@ -34,6 +34,10 @@ class TraceBackend(NamedTuple):
     # shaft fatness no longer matters, so callers skip their octant+Morton
     # ray reordering (the sort+permute overhead buys nothing).
     perray_cull: bool = False
+    # Optional batched shadow query: S shared-origin segments resolved in
+    # ONE kernel pass (occluded_multi(origins, dirs_s, t_lo, t_hi_s) ->
+    # list of S masks).  None when the backend has no fused path.
+    occluded_multi: Callable | None = None
 
 
 def _merge_sphere_hits(tri_hit: intersect.HitRecord,
@@ -121,7 +125,8 @@ def make_hybrid_backend(gpu: GPUScene, cfg: RenderConfig) -> TraceBackend:
 
     return TraceBackend(closest=closest, occluded=occluded,
                         num_tris=v8.num_tris, num_spheres=v8.num_spheres,
-                        perray_cull=True)
+                        perray_cull=True,
+                        occluded_multi=v8.occluded_multi)
 
 
 def make_backend(gpu: GPUScene, cfg: RenderConfig) -> TraceBackend:

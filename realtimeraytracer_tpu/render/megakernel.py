@@ -185,8 +185,12 @@ def shade_sample(
         # Stochastic samples: python-unrolled over S so every tensor stays
         # (R, 3) / (R,).  (R, S, 3) shapes pad BOTH minor dims on TPU
         # (1->8, 3->128 = up to 340x layout blow-up in the loop body).
-        shadowed_sum = jnp.zeros_like(ps)
-        unshadowed_sum = jnp.zeros_like(ps)
+        # Sample geometry is precomputed so backends with a fused
+        # multi-segment shadow query (backend.occluded_multi — the S
+        # samples share their origin, so one kernel pass amortizes all
+        # per-tile cull/pop machinery) resolve every sample's occlusion
+        # in ONE trace; the shading math below is unchanged either way.
+        samp = []
         for s in range(num_s):
             seed = (
                 seeds
@@ -199,7 +203,6 @@ def shade_sample(
             over = r1 + r2 > 1.0
             r1 = jnp.where(over, 1.0 - r1, r1)
             r2 = jnp.where(over, 1.0 - r2, r2)
-
             lpos = (
                 p0[None, :]
                 + r1[:, None] * (p1 - p0)[None, :]
@@ -207,7 +210,20 @@ def shade_sample(
             )                                                      # (R, 3)
             delta = lpos - ps
             dist = jnp.sqrt(jnp.maximum(jnp.sum(delta * delta, -1), 1e-20))
-            sdir = delta / dist[..., None]
+            samp.append((dist, delta / dist[..., None]))
+
+        occ_pre = None
+        if backend.occluded_multi is not None and num_s > 1:
+            t_lo = jnp.where(actives, cfg.t_min, BIG_T)
+            occ_pre = backend.occluded_multi(
+                sos, [sd for _, sd in samp], t_lo,
+                [jnp.where(actives, dist - cfg.shadow_ray_margin, -BIG_T)
+                 for dist, _ in samp])
+
+        shadowed_sum = jnp.zeros_like(ps)
+        unshadowed_sum = jnp.zeros_like(ps)
+        for s in range(num_s):
+            dist, sdir = samp[s]
 
             # Forward shadow segments (surface -> light, margin at the
             # light end), exactly the reference's terminateOnFirstHit rays
@@ -221,10 +237,13 @@ def shade_sample(
             # [BIG, -BIG) interval so the traversal retires them at once
             # instead of tracing garbage segments through the scene
             # (measured ~40% of the trace cost at 2/3 hit fraction).
-            span = dist - cfg.shadow_ray_margin
-            t_lo = jnp.where(actives, cfg.t_min, BIG_T)
-            t_hi = jnp.where(actives, span, -BIG_T)
-            occ = backend.occluded(sos, sdir, t_lo, t_hi)
+            if occ_pre is not None:
+                occ = occ_pre[s]
+            else:
+                span = dist - cfg.shadow_ray_margin
+                t_lo = jnp.where(actives, cfg.t_min, BIG_T)
+                t_hi = jnp.where(actives, span, -BIG_T)
+                occ = backend.occluded(sos, sdir, t_lo, t_hi)
             lit = jnp.where(occ, 0.0, 1.0)[:, None]
 
             ndotl = jnp.maximum(jnp.sum(ns * sdir, -1), 0.1)       # (R,)

@@ -107,3 +107,62 @@ class TestHierKernel:
         err = np.abs(img - ref)
         assert np.isfinite(img).all()
         assert (err > 2e-3).mean() < 5e-3
+
+
+class TestMultiSegmentOcclusion:
+    """Fused S-sample shadow query == per-sample occluded, exactly."""
+
+    def test_multi_equals_singles(self):
+        from realtimeraytracer_tpu.ops.intersect import BIG_T
+        from realtimeraytracer_tpu.render.hier_backend import (
+            hier_occluded,
+            hier_occluded_multi,
+        )
+
+        gpu = _gpu(700)
+        r = np.random.default_rng(9)
+        R = 300
+        o = jnp.asarray(r.uniform(-6, 6, (R, 3)).astype(np.float32))
+        target = np.array([0.0, 8.0, 0.0], np.float32)
+        dirs_s, this = [], []
+        for _ in range(3):
+            lp = target + r.normal(0, 0.5, (R, 3)).astype(np.float32)
+            delta = lp - np.asarray(o)
+            dist = np.linalg.norm(delta, axis=1)
+            dirs_s.append(jnp.asarray(delta / dist[:, None]))
+            this.append(jnp.asarray((dist - 0.5).astype(np.float32)))
+        act = r.random(R) > 0.2                 # inactive-lane coverage
+        tlo = jnp.asarray(np.where(act, 1e-3, BIG_T).astype(np.float32))
+        this = [jnp.asarray(np.where(act, np.asarray(h), -BIG_T)
+                            .astype(np.float32)) for h in this]
+        multi = hier_occluded_multi(gpu, CFG, o, dirs_s, tlo, this)
+        for s in range(3):
+            single = hier_occluded(gpu, CFG, o, dirs_s[s], tlo, this[s])
+            np.testing.assert_array_equal(np.asarray(multi[s]),
+                                          np.asarray(single))
+
+    def test_megakernel_uses_multi_and_matches(self):
+        """Render with the fused path == render with it disabled."""
+        from realtimeraytracer_tpu import RenderConfig as RC, scenes
+        from realtimeraytracer_tpu.render.backends import make_backend
+        from realtimeraytracer_tpu.render.megakernel import render_components
+        from realtimeraytracer_tpu.ops.camera_rays import ViewportFrame
+
+        scene = scenes.procedural_mesh(600, sun=True)
+        gpu = scene.compile(bvh_threshold=0)
+        cfg = RC(width=32, height=24, primary_rays=1, jitter=False,
+                 shadow_rays=3, denoise_iterations=0, backend="hier",
+                 shadow_ray_margin=0.05)
+        frame = scene.camera.viewport_frame(cfg.width, cfg.height)
+        from realtimeraytracer_tpu.render.hier_backend import (
+            hier_occluded_multi)
+
+        be = make_backend(gpu, cfg)
+        fused = be._replace(occluded_multi=(
+            lambda o, ds, lo, hs: hier_occluded_multi(gpu, cfg, o, ds, lo, hs)))
+        a = render_components(gpu, frame, cfg, 0, fused)
+        b = render_components(gpu, frame, cfg, 0, be)
+        np.testing.assert_array_equal(np.asarray(a.shadowed),
+                                      np.asarray(b.shadowed))
+        np.testing.assert_array_equal(np.asarray(a.analytic),
+                                      np.asarray(b.analytic))
