@@ -22,18 +22,39 @@ from realtimeraytracer_tpu.scene.gpu_scene import GPUScene
 
 
 def denoise_and_combine(comp: RenderComponents, cfg: RenderConfig) -> jnp.ndarray:
-    """Denoise the stochastic pair, then ratio-combine with the analytic."""
+    """Denoise the stochastic pair, then ratio-combine with the analytic.
+
+    On TPU the fused Pallas kernel (ops/denoise_pallas.py) filters BOTH
+    images per pass with shared normal/position weights, equal to the XLA
+    stencil to a few f32 ulp.  Not differentiable — gradient paths
+    (diff/optimize.pipeline_loss) take the XLA formulation, which is why
+    the dispatch checks for tracers carrying a JVP/VJP.
+    """
     if cfg.denoise_iterations > 0:
-        shadowed = atrous_denoise(
-            comp.shadowed, comp.normal, comp.position,
-            cfg.denoise_iterations, cfg.denoise_c_phi,
-            cfg.denoise_n_phi, cfg.denoise_p_phi,
-        )
-        unshadowed = atrous_denoise(
-            comp.unshadowed, comp.normal, comp.position,
-            cfg.denoise_iterations, cfg.denoise_c_phi,
-            cfg.denoise_n_phi, cfg.denoise_p_phi,
-        )
+        import jax
+
+        use_pallas = (jax.default_backend() == "tpu"
+                      and not isinstance(comp.shadowed,
+                                         jax.interpreters.ad.JVPTracer))
+        if use_pallas:
+            from realtimeraytracer_tpu.ops.denoise_pallas import (
+                atrous_denoise_pair)
+
+            shadowed, unshadowed = atrous_denoise_pair(
+                comp.shadowed, comp.unshadowed, comp.normal, comp.position,
+                cfg.denoise_iterations, cfg.denoise_c_phi,
+                cfg.denoise_n_phi, cfg.denoise_p_phi)
+        else:
+            shadowed = atrous_denoise(
+                comp.shadowed, comp.normal, comp.position,
+                cfg.denoise_iterations, cfg.denoise_c_phi,
+                cfg.denoise_n_phi, cfg.denoise_p_phi,
+            )
+            unshadowed = atrous_denoise(
+                comp.unshadowed, comp.normal, comp.position,
+                cfg.denoise_iterations, cfg.denoise_c_phi,
+                cfg.denoise_n_phi, cfg.denoise_p_phi,
+            )
     else:
         shadowed, unshadowed = comp.shadowed, comp.unshadowed
     return ratio_combine(comp.analytic, shadowed, unshadowed)

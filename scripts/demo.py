@@ -2,7 +2,7 @@
 inverse-rendering optimization.
 
 Usage:
-  python scripts/demo.py render [cornell|sphere|mesh10k|mesh100k] out.png
+  python scripts/demo.py render [cornell|sphere|mesh10k|mesh100k|sky|instanced] out.png
   python scripts/demo.py wavefront cornell out.png     # multi-bounce
   python scripts/demo.py app                            # timed frame loop
   python scripts/demo.py fit                            # albedo recovery
@@ -35,7 +35,49 @@ SCENES = {
     "mesh100k": lambda: (scenes.procedural_mesh(100_000),
                          rt.RenderConfig(width=1920, height=1080, primary_rays=2,
                                          shadow_rays=2)),
+    # HDRI sky on primary-ray miss (miss.rmiss parity).
+    "sky": lambda: (scenes.sky_sphere(),
+                    rt.RenderConfig(width=960, height=540, primary_rays=2,
+                                    shadow_rays=1, shadow_ray_margin=0.01)),
+    # 100 shared-geometry instances of one 10k-tri mesh (1M effective
+    # tris at one mesh's memory; v8 hier kernel).
+    "instanced": lambda: (_instanced_scene(),
+                          rt.RenderConfig(width=960, height=540,
+                                          primary_rays=2, shadow_rays=2,
+                                          backend="hier")),
 }
+
+
+def _instanced_scene():
+    import numpy as np
+
+    from realtimeraytracer_tpu.scene.camera import Camera
+    from realtimeraytracer_tpu.scene.geometry import (
+        TriangleMesh, make_grid_plane)
+    from realtimeraytracer_tpu.scene.lights import AreaLight
+    from realtimeraytracer_tpu.scene.materials import Material
+    from realtimeraytracer_tpu.scene.scene import Scene
+
+    r = np.random.default_rng(0)
+    n = 10_000
+    base = r.uniform(-1, 1, (n, 1, 3))
+    tris = (base + r.normal(0, 0.1, (n, 3, 3))).astype(np.float32)
+    blob = TriangleMesh(
+        vertices=tris.reshape(-1, 3),
+        faces=np.arange(3 * n, dtype=np.int32).reshape(n, 3),
+        material=Material(color=(0.6, 0.3, 0.2), specular=0.3))
+    s = Scene(camera=Camera(position=(0, 8, 25), look_at=(0, 0.5, 0),
+                            fov_y_degrees=55))
+    light = AreaLight(intensity=6.0)
+    light.rotate("x", 90).scale(4.0).move(0, 10, 0)
+    s.add(light, make_grid_plane(size=60.0))
+    ts = []
+    for i in range(100):
+        t = np.eye(4, dtype=np.float32)
+        t[:3, 3] = ((i % 10) * 4 - 18, 1.0, (i // 10) * 4 - 18)
+        ts.append(t)
+    s.add_instances(blob, ts)
+    return s
 
 
 def cmd_render(name: str, out: str) -> None:
