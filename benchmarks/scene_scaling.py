@@ -58,15 +58,21 @@ def main() -> None:
             outf, outi = hb.trace_blocks_hier(g, cfg, rays, "closest")
             return outf[:, 0, :], outi[:, 1, :]
 
-        out = tr(gpu, frame, jnp.uint32(0))
+        samples = [jnp.uint32(i) for i in range(iters + 2)]
+        jax.block_until_ready(samples)
+        out = tr(gpu, frame, samples[0])
         jax.block_until_ready(out)
-        # One throwaway timed batch first: the very first pipelined
-        # timing in a process under-reports through the axon tunnel.
-        jax.block_until_ready([tr(gpu, frame, jnp.uint32(9))])
+        # Throwaway batch + MATERIALIZED timing: through the axon tunnel,
+        # un-materialized pipelined timings intermittently under-report
+        # by ~1000x (PERF.md); forcing a host read of the last output
+        # keeps the measurement honest.
+        float(tr(gpu, frame, samples[1])[0].sum())
         t0 = time.perf_counter()
-        outs = [tr(gpu, frame, jnp.uint32(i + 1)) for i in range(iters)]
+        outs = [tr(gpu, frame, samples[i + 2]) for i in range(iters)]
         jax.block_until_ready(outs)
+        checksum = float(outs[-1][0].sum())
         ms = (time.perf_counter() - t0) / iters * 1e3
+        del checksum
         base_ms = base_ms or ms
         print(json.dumps({
             "metric": "closest_trace_ms",
