@@ -121,6 +121,19 @@ class RenderConfig:
     sort_shadows: bool = True
     sort_shadows_min_rays: int = 65536
 
+    # Megakernel batched occlusion: concatenate ALL (light-triangle x
+    # shadow-sample) segments of one primary sample into ONE occluded()
+    # kernel launch instead of lights*samples separate ones (bit-identical;
+    # per-ray-culling backends only).  Default OFF: inside one jitted frame
+    # the separate launches already compose back-to-back in a single XLA
+    # executable, so batching measures NEUTRAL there (897 vs 899 ms at
+    # 1080p/100k) while concatenating ~6x the ray state in HBM.  It pays
+    # 20% (730 -> 585 ms for 6 segments) only when each trace is its own
+    # jit call and eats host dispatch — enable for eager/per-call usage
+    # (scripts/batch_occl_probe.py).
+    batch_occlusion: bool = False
+    batch_occlusion_min_rays: int = 65536
+
     # Mip-mapped (trilinear) texture sampling with footprint-derived LOD
     # (image_sampler.cppm:11-51 parity).  Default off: the golden tests
     # compare exact base-level bilinear against the CPU reference, which

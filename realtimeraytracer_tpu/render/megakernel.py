@@ -135,18 +135,52 @@ def shade_sample(
 
     num_s = cfg.shadow_rays
 
-    # --- per-light-triangle loop (raygen.rgen:164-285), scanned ----------
-    def light_tri_step(carry, lt):
-        analytic_a, shadowed_a, unshadowed_a = carry
-        (p0, p1, p2, lcolor, lintensity, ltwo, lvalid, lt_idx) = lt
-
+    # Shared light-shading geometry helpers: used by BOTH the per-light
+    # shade step and the batched-occlusion prepass below, so the two are
+    # structurally identical ops (XLA CSEs the duplicate computations).
+    def light_geom(p0, p1, p2):
         nl = cross(p2 - p1, p0 - p1)
         area = jnp.sqrt(jnp.maximum(dot(nl, nl), 0.0)) * 0.5
         inv_pdf = area * cfg.light_pdf_scale          # 1/pdf, pdf=1/(a*0.7)
-        nlu = normalize(nl)
+        return normalize(nl), inv_pdf
 
+    def light_active(nlu, p0, ltwo, lvalid):
         front = dot(nlu[None, :], p - p0[None, :]) >= 0.0          # (R,)
-        active = (lvalid & (ltwo | front)) & surf.valid            # (R,)
+        return (lvalid & (ltwo | front)) & surf.valid              # (R,)
+
+    def light_samples(p0, p1, p2, ps, seeds, lt_idx):
+        """num_s uniform triangle samples -> [(dist, dir)]; the
+        reference's barycentric sampling (raygen.rgen:213-219)."""
+        samp = []
+        for s in range(num_s):
+            seed = (
+                seeds
+                + jnp.uint32(s)
+                + lt_idx.astype(jnp.uint32) * jnp.uint32(7919)
+                + jnp.uint32(sample_index * 15485863)
+            )
+            r1 = rng.uniform(seed)
+            r2 = rng.uniform(seed + jnp.uint32(100))
+            over = r1 + r2 > 1.0
+            r1 = jnp.where(over, 1.0 - r1, r1)
+            r2 = jnp.where(over, 1.0 - r2, r2)
+            lpos = (
+                p0[None, :]
+                + r1[:, None] * (p1 - p0)[None, :]
+                + r2[:, None] * (p2 - p0)[None, :]
+            )                                                      # (R, 3)
+            delta = lpos - ps
+            dist = jnp.sqrt(jnp.maximum(jnp.sum(delta * delta, -1), 1e-20))
+            samp.append((dist, delta / dist[..., None]))
+        return samp
+
+    # --- per-light-triangle loop (raygen.rgen:164-285), scanned ----------
+    def light_tri_step(carry, lt, occ_override=None):
+        analytic_a, shadowed_a, unshadowed_a = carry
+        (p0, p1, p2, lcolor, lintensity, ltwo, lvalid, lt_idx) = lt
+
+        nlu, inv_pdf = light_geom(p0, p1, p2)
+        active = light_active(nlu, p0, ltwo, lvalid)               # (R,)
         active_f = active.astype(jnp.float32)[:, None]
 
         # Shadow-ray reordering (see _shadow_sort_key): ONE argsort per
@@ -185,35 +219,14 @@ def shade_sample(
         # Stochastic samples: python-unrolled over S so every tensor stays
         # (R, 3) / (R,).  (R, S, 3) shapes pad BOTH minor dims on TPU
         # (1->8, 3->128 = up to 340x layout blow-up in the loop body).
-        # Sample geometry is precomputed so backends with a fused
-        # multi-segment shadow query (backend.occluded_multi — the S
-        # samples share their origin, so one kernel pass amortizes all
-        # per-tile cull/pop machinery) resolve every sample's occlusion
-        # in ONE trace; the shading math below is unchanged either way.
-        samp = []
-        for s in range(num_s):
-            seed = (
-                seeds
-                + jnp.uint32(s)
-                + lt_idx.astype(jnp.uint32) * jnp.uint32(7919)
-                + jnp.uint32(sample_index * 15485863)
-            )
-            r1 = rng.uniform(seed)
-            r2 = rng.uniform(seed + jnp.uint32(100))
-            over = r1 + r2 > 1.0
-            r1 = jnp.where(over, 1.0 - r1, r1)
-            r2 = jnp.where(over, 1.0 - r2, r2)
-            lpos = (
-                p0[None, :]
-                + r1[:, None] * (p1 - p0)[None, :]
-                + r2[:, None] * (p2 - p0)[None, :]
-            )                                                      # (R, 3)
-            delta = lpos - ps
-            dist = jnp.sqrt(jnp.maximum(jnp.sum(delta * delta, -1), 1e-20))
-            samp.append((dist, delta / dist[..., None]))
+        # Sample geometry is precomputed so occlusion can resolve ahead of
+        # the shading math: either injected by the frame-wide batched
+        # trace (occ_override) or by a backend's fused multi-segment query
+        # (backend.occluded_multi).
+        samp = light_samples(p0, p1, p2, ps, seeds, lt_idx)
 
-        occ_pre = None
-        if backend.occluded_multi is not None and num_s > 1:
+        occ_pre = occ_override
+        if occ_pre is None and backend.occluded_multi is not None and num_s > 1:
             t_lo = jnp.where(actives, cfg.t_min, BIG_T)
             occ_pre = backend.occluded_multi(
                 sos, [sd for _, sd in samp], t_lo,
@@ -299,9 +312,45 @@ def shade_sample(
     if lt_count <= 8:
         # Unrolled: scan/while bodies pin (R,3) temps into padded layouts
         # on TPU (observed 40x HBM expansion inside the loop body at 1080p).
+        #
+        # Batched occlusion (cfg.batch_occlusion): all lt_count*num_s
+        # area-shadow segments concatenated into ONE occluded() launch —
+        # identical per-tile traversal work (R is a multiple of the 128-ray
+        # tile, so segments stay tile-aligned) but the XLA dispatch, ray
+        # packing, and kernel spin-up are paid once.  Measured 730 ->
+        # 585 ms for 6 segments at 1080p/100k on v8, bit-identical
+        # (scripts/batch_occl_probe.py).  Per-ray-culling backends only:
+        # tile-hull backends need the per-light octant+Morton sort, which
+        # cross-light concatenation would defeat.
+        occ_overrides = [None] * lt_count
+        if (cfg.batch_occlusion and backend.perray_cull and num_s >= 1
+                and lt_count * num_s > 1
+                and R >= cfg.batch_occlusion_min_rays):
+            seg_dir, seg_lo, seg_hi = [], [], []
+            for i in range(lt_count):
+                (p0, p1, p2, _, _, ltwo, lvalid, lt_idx) = tuple(
+                    x[i] for x in lts)
+                nlu, _ = light_geom(p0, p1, p2)
+                active = light_active(nlu, p0, ltwo, lvalid)
+                for dist, sdir in light_samples(p0, p1, p2, p, pixel_seed,
+                                                lt_idx):
+                    seg_dir.append(sdir)
+                    seg_lo.append(jnp.where(active, cfg.t_min, BIG_T))
+                    seg_hi.append(jnp.where(
+                        active, dist - cfg.shadow_ray_margin, -BIG_T))
+            nseg = len(seg_dir)
+            occ_cat = backend.occluded(
+                jnp.concatenate([shadow_origin] * nseg),
+                jnp.concatenate(seg_dir),
+                jnp.concatenate(seg_lo), jnp.concatenate(seg_hi))
+            occ_overrides = [
+                [occ_cat[(i * num_s + s) * R:(i * num_s + s + 1) * R]
+                 for s in range(num_s)]
+                for i in range(lt_count)]
         carry = (zeros, zeros, zeros)
         for i in range(lt_count):
-            carry, _ = light_tri_step(carry, tuple(x[i] for x in lts))
+            carry, _ = light_tri_step(carry, tuple(x[i] for x in lts),
+                                      occ_override=occ_overrides[i])
         analytic, shadowed, unshadowed = carry
     else:
         (analytic, shadowed, unshadowed), _ = jax.lax.scan(

@@ -166,3 +166,36 @@ class TestMultiSegmentOcclusion:
                                       np.asarray(b.shadowed))
         np.testing.assert_array_equal(np.asarray(a.analytic),
                                       np.asarray(b.analytic))
+
+
+class TestBatchedOcclusion:
+    """Frame-wide batched shadow trace == per-segment traces, exactly.
+
+    cfg.batch_occlusion concatenates all (light x sample) segments into
+    one occluded() launch (render/megakernel.py unrolled driver); per-tile
+    work is identical, so results must be bit-equal to the per-segment
+    path on the same backend.
+    """
+
+    def test_batched_equals_separate(self):
+        from realtimeraytracer_tpu import RenderConfig as RC, scenes
+        from realtimeraytracer_tpu.render.backends import make_backend
+        from realtimeraytracer_tpu.render.megakernel import render_components
+
+        scene = scenes.procedural_mesh(600, sun=True)
+        gpu = scene.compile(bvh_threshold=0)
+        base = RC(width=32, height=24, primary_rays=1, jitter=False,
+                  shadow_rays=3, denoise_iterations=0, backend="hier",
+                  shadow_ray_margin=0.05)
+        frame = scene.camera.viewport_frame(base.width, base.height)
+
+        cfg_b = base.replace(batch_occlusion=True, batch_occlusion_min_rays=0)
+        cfg_s = base.replace(batch_occlusion=False)
+        a = render_components(gpu, frame, cfg_b, 0, make_backend(gpu, cfg_b))
+        b = render_components(gpu, frame, cfg_s, 0, make_backend(gpu, cfg_s))
+        np.testing.assert_array_equal(np.asarray(a.shadowed),
+                                      np.asarray(b.shadowed))
+        np.testing.assert_array_equal(np.asarray(a.unshadowed),
+                                      np.asarray(b.unshadowed))
+        np.testing.assert_array_equal(np.asarray(a.analytic),
+                                      np.asarray(b.analytic))
