@@ -43,15 +43,25 @@ def main() -> None:
     frame = scene.camera.viewport_frame(width, height)
 
     if jax.default_backend() == "tpu":
+        # Same routing as the production hybrid backend: v9 quarter-
+        # composited visits for VMEM-resident scenes, v7 hull cull above.
         from realtimeraytracer_tpu.render import pallas_backend as pb
+        from realtimeraytracer_tpu.render import quarter_backend as qb
+
+        resident = (gpu.pallas_panels is not None
+                    and gpu.pallas_panels.shape[0] <= pb.RESIDENT_CB)
 
         @jax.jit
         def trace(g, fr, sample):
             rays = generate_ray_blocks(
                 fr, width, height, sample_index=sample, jitter=True,
                 t_min=cfg.t_min, t_max=cfg.t_max)
-            outf, outi = pb.trace_blocks(g, cfg, rays, "closest",
-                                         common="origin")
+            if resident:
+                outf, outi = qb.trace_blocks_quarter(g, cfg, rays,
+                                                     common="origin")
+            else:
+                outf, outi = pb.trace_blocks(g, cfg, rays, "closest",
+                                             common="origin")
             return outf[:, 0, :], outi[:, 0, :]
     else:
         from realtimeraytracer_tpu.ops.camera_rays import generate_rays

@@ -97,26 +97,36 @@ def make_hybrid_backend(gpu: GPUScene, cfg: RenderConfig) -> TraceBackend:
 
     1080p/100k v5e measurements (scripts/hier_shadow_probe.py, r3):
 
-      | trace                      | v7 hull cull | v8 per-ray |
-      |----------------------------|-------------:|-----------:|
-      | closest, common origin/dir |      65.3 ms |    99.7 ms |
-      | closest, incoherent        |      2311 ms |    1392 ms |
-      | occluded (area shadows)    | 221 (88 srt) |      91 ms |
+      | trace                      | v7 hull cull | v8 per-ray | v9 quarter |
+      |----------------------------|-------------:|-----------:|-----------:|
+      | closest, common origin/dir |      62.4 ms |    99.7 ms |    56.2 ms |
+      | closest, incoherent        |      2311 ms |    1392 ms |          — |
+      | occluded (area shadows)    | 221 (88 srt) |      91 ms |          — |
 
-    Coherent pinhole/sun bundles keep v7 (the tile hull is already tight
-    and the collapsed-dot algebra is cheaper); everything incoherent gets
-    v8's per-ray hierarchy, which also makes shadow-ray sorting
-    unnecessary (perray_cull=True — megakernel/wavefront skip their
-    octant+Morton permutes).
+    Coherent pinhole/sun bundles get v9's quarter-composited visits when
+    the coefficient table is VMEM-resident (v7's hull cull + ~40% less
+    block-mate waste per visit), falling back to v7 on larger scenes;
+    everything incoherent gets v8's per-ray hierarchy, which also makes
+    shadow-ray sorting unnecessary (perray_cull=True — megakernel/
+    wavefront skip their octant+Morton permutes).
     """
     from realtimeraytracer_tpu.render.hier_backend import make_hier_backend
-    from realtimeraytracer_tpu.render.pallas_backend import make_pallas_backend
+    from realtimeraytracer_tpu.render.pallas_backend import (
+        RESIDENT_CB,
+        make_pallas_backend,
+    )
+    from realtimeraytracer_tpu.render.quarter_backend import (
+        make_quarter_backend,
+    )
 
     v7 = make_pallas_backend(gpu, cfg)
     v8 = make_hier_backend(gpu, cfg)
+    resident = (gpu.pallas_panels is not None
+                and gpu.pallas_panels.shape[0] <= RESIDENT_CB)
+    v9 = make_quarter_backend(gpu, cfg) if resident else v7
 
     def closest(origins, dirs, t_min, t_max, common=None):
-        be = v7 if common in ("origin", "dir") else v8
+        be = v9 if common in ("origin", "dir") else v8
         return be.closest(origins, dirs, t_min, t_max, common=common)
 
     def occluded(origins, dirs, t_min, t_max, common=None):
@@ -136,7 +146,7 @@ def make_backend(gpu: GPUScene, cfg: RenderConfig) -> TraceBackend:
         # hierarchical kernel understands the per-instance transform
         # level.  Auto/hybrid route there; anything else would silently
         # intersect mesh-space geometry with world rays.
-        if kind in ("auto", "hybrid", "hier", "pallas", "wide"):
+        if kind in ("auto", "hybrid", "hier", "pallas", "wide", "quarter"):
             kind = "hier"
         else:
             raise ValueError(
@@ -154,7 +164,8 @@ def make_backend(gpu: GPUScene, cfg: RenderConfig) -> TraceBackend:
             kind = "hybrid" if jax.default_backend() == "tpu" else "wide"
         else:
             kind = "brute"
-    if (kind in ("packet", "lane", "wide", "pallas", "hier", "hybrid")
+    if (kind in ("packet", "lane", "wide", "pallas", "hier", "hybrid",
+             "quarter")
             and not gpu.has_bvh and not gpu.instanced):
         # (instanced scenes carry traversal panels but no LBVH nodes —
         # the hier kernel is their only and correct path)
@@ -167,6 +178,12 @@ def make_backend(gpu: GPUScene, cfg: RenderConfig) -> TraceBackend:
         from realtimeraytracer_tpu.render.hier_backend import make_hier_backend
 
         backend = make_hier_backend(gpu, cfg)
+    elif kind == "quarter":
+        from realtimeraytracer_tpu.render.quarter_backend import (
+            make_quarter_backend,
+        )
+
+        backend = make_quarter_backend(gpu, cfg)
     elif kind == "hybrid":
         backend = make_hybrid_backend(gpu, cfg)
     elif kind == "wide":

@@ -215,17 +215,13 @@ def pack_clusters(gpu: GPUScene):
     return coeff, tmin.min(axis=1), tmax.max(axis=1)
 
 
-def cull_keys(rays, cl_min, cl_max, bundles: int = 1):
-    """Per-tile packed block-candidate keys (Ts, CBn, 8, 128) int32.
+def _sub_entries(rays, cl_min, cl_max, bundles: int = 1):
+    """Per-tile conservative entry distance of every SUBK-tri subcluster.
 
-    Interval-arithmetic slab test of every SUBK-triangle subcluster AABB
-    against each tile's ray bundle (origin box x direction interval):
-    conservative (false positives only cost visits) and yields an
-    entry-distance LOWER bound, keeping the kernel's ordered-visit stop
-    rule exact.  Subcluster entries then reduce to 128-triangle BLOCK keys
-    (entry = min over the block's passing subclusters) — cull fine, visit
-    coarse.  The key packs the bound's f32 bits (id-bits cleared = rounded
-    down, still a lower bound) with the block id.
+    Interval-arithmetic slab test of every subcluster AABB against each
+    tile's ray bundle (origin box x direction interval): conservative
+    (false positives only cost visits) and yields an entry-distance LOWER
+    bound, keeping the kernels' ordered-visit stop rules exact.
 
     bundles: split each 128-ray tile into this many sub-bundles for the
     cull (the union of tighter hulls is a subset of the whole tile's
@@ -233,14 +229,11 @@ def cull_keys(rays, cl_min, cl_max, bundles: int = 1):
     discontinuities).  Entry = min over sub-bundles (still a valid lower
     bound for every ray in the tile); each ray is covered by its own
     sub-bundle's conservative test, so correctness is unchanged.
+
+    Returns (ts, C32) f32: max(entry, 0) for passing subclusters, +inf
+    where no sub-bundle overlaps.
     """
     ts = rays.shape[0]
-    c32 = cl_min.shape[0]
-    cb = c32 // (CB // SUBK)
-    cbn = -(-cb // CPB)
-    bits = _id_bits(cbn * CPB)
-    id_mask = (1 << bits) - 1
-
     nb = bundles
     lanes = TILE // nb
     rs = rays.reshape(ts, 8, nb, lanes)
@@ -278,21 +271,77 @@ def cull_keys(rays, cl_min, cl_max, bundles: int = 1):
         tf = hi_a if tf is None else jnp.minimum(tf, hi_a)
     possible = (tn <= tf) & (tf >= tmin_lb) & (tn <= tmax_ub)
 
-    # Reduce subclusters -> blocks (and sub-bundles -> tiles): entry =
-    # min over passing subclusters of any sub-bundle.
+    # Sub-bundles -> tiles: entry = min over sub-bundles.
     ent = jnp.where(possible, jnp.maximum(tn, 0.0), jnp.inf)
-    ent = ent.reshape(ts, nb, cb, CB // SUBK).min(axis=(1, 3))  # (Ts, CB)
-    any_possible = jnp.isfinite(ent)
+    return ent.reshape(ts, nb, -1).min(axis=1)                  # (Ts, C32)
 
-    ids = jnp.arange(cb, dtype=I32)[None, :]
+
+def _pack_id_keys(ent, ids, id_mask, pages):
+    """Pack entry distances + ids into ordered int32 keys, padded to
+    (Ts, pages, 8, 128) key pages.  Id bits cleared from the f32 entry
+    bits = rounded down — still a lower bound, so ordered-visit stop
+    rules stay exact.  +inf entries become INVALID."""
+    ts, n = ent.shape
+    finite = jnp.isfinite(ent)
     key = (jax.lax.bitcast_convert_type(
-        jnp.where(any_possible, ent, 0.0), I32) & ~id_mask) | ids
-    key = jnp.where(any_possible, key, INVALID)
-    pad = cbn * CPB - cb
+        jnp.where(finite, ent, 0.0), I32) & ~id_mask) | ids
+    key = jnp.where(finite, key, INVALID)
+    pad = pages * CPB - n
     if pad:
         key = jnp.concatenate(
             [key, jnp.full((ts, pad), INVALID, I32)], axis=1)
-    return key.reshape(ts, cbn, 8, 128), id_mask
+    return key.reshape(ts, pages, 8, 128)
+
+
+def cull_keys(rays, cl_min, cl_max, bundles: int = 1):
+    """Per-tile packed block-candidate keys (Ts, CBn, 8, 128) int32.
+
+    Subcluster entries (_sub_entries) reduce to 128-triangle BLOCK keys
+    (entry = min over the block's passing subclusters) — cull fine, visit
+    coarse.  The key packs the bound's f32 bits with the block id.
+    """
+    ts = rays.shape[0]
+    c32 = cl_min.shape[0]
+    cb = c32 // (CB // SUBK)
+    cbn = -(-cb // CPB)
+    bits = _id_bits(cbn * CPB)
+    id_mask = (1 << bits) - 1
+
+    ent = _sub_entries(rays, cl_min, cl_max, bundles)
+    ent = ent.reshape(ts, cb, CB // SUBK).min(axis=2)           # (Ts, CB)
+    ids = jnp.arange(cb, dtype=I32)[None, :]
+    return _pack_id_keys(ent, ids, id_mask, cbn), id_mask
+
+
+def cull_quarter_keys(rays, cl_min, cl_max, bundles: int = 1):
+    """Per-tile subcluster keys SPLIT BY LANE QUARTER, for the v9
+    composite-visit kernel (render/quarter_backend.py).
+
+    Quarter q of coefficient block B holds triangles [B*128+32q,
+    B*128+32q+32) at lanes [32q, 32q+32) — i.e. subcluster index
+    s = 4B + q sits at lane quarter (s & 3) of panel (s >> 2).  Keys for
+    quarter q therefore carry the BLOCK id (the panel to load) packed
+    with that subcluster's own entry bound; the kernel pops one key per
+    quarter and composites the four panels' native lane quarters into
+    one 128-lane visit.
+
+    Returns ((Ts, 4, CBn, 8, 128) int32, id_mask).
+    """
+    ts = rays.shape[0]
+    c32 = cl_min.shape[0]
+    cb = c32 // (CB // SUBK)
+    cbn = -(-cb // CPB)
+    bits = _id_bits(cbn * CPB)
+    id_mask = (1 << bits) - 1
+
+    ent = _sub_entries(rays, cl_min, cl_max, bundles)
+    ent = ent.reshape(ts, cb, CB // SUBK)                       # (Ts,CB,4)
+    ids = jnp.arange(cb, dtype=I32)[None, :]
+    pages = [
+        _pack_id_keys(ent[:, :, q], ids, id_mask, cbn)[:, None]
+        for q in range(CB // SUBK)
+    ]
+    return jnp.concatenate(pages, axis=1), id_mask
 
 
 def _trace_kernel(rays_ref, keys_ref, coeff_ref, outf_ref, outi_ref,
