@@ -79,6 +79,18 @@ EPS = 1e-12
 INVALID = 0x7F800000  # +inf bits: "no candidate left"
 SMASK = 0x3FF         # low bits carrying ids inside packed entry keys
 SPAGES = 8            # L1 key rows in scratch: 8*128 supers/pairs max
+# Exact-ordered pop->visit cycles per while-loop body (resident path):
+# pays the cond's unoverlappable stop-rule reduce once per STRIDE visits
+# for <= STRIDE-1 tail-overshoot visits (~4% extra, r4 probe 080).
+STRIDE = 2
+# Capped-visit round lengths before each mid-traversal re-cull of a
+# super's block list against the now-tight per-ray limits (empty = off).
+# Closest gets two rounds (bounce rays: 386 -> 264 ms, probe 160);
+# occlusion one round — neutral on coherent frame shadows (89.2 vs
+# 89.9 ms) but 9% on incoherent bounce-NEE segments (192 -> 175 ms,
+# probe 180).  See outer_body.
+RECULL_ROUNDS_CLOSEST = (8, 8)
+RECULL_ROUNDS_OCCLUDED = (8,)
 
 
 def nsup_pages(n: int) -> int:
@@ -133,7 +145,7 @@ def pack_hierarchy(cl_min, cl_max):
 
 def _tile_body(b, rays_ref, sup_ref, blk_ref, coeff_ref, outf_ref, outi_ref,
                sk_ref, cbuf, sems, tab_ref, inv_ref, *, cb, nl1, mode,
-               common, resident, pack, instanced):
+               common, resident, pack, instanced, stride=1):
     """Full hierarchical trace of ONE 128-ray tile (index b in the step).
 
     nl1: number of valid L1 entries (superclusters, or (instance, super)
@@ -326,34 +338,88 @@ def _tile_body(b, rays_ref, sup_ref, blk_ref, coeff_ref, outf_ref, outi_ref,
                 dma(0, u, bbase + jnp.minimum(nextg[u] & SMASK, SUP - 1)
                     ).start()
 
-        def inner_cond(st2):
-            nextg, _, _, best_t, _, _, _ = st2
-            return ((nextg[0] != INVALID)
-                    & ((nextg[0] & ~SMASK) <= worst_of(best_t)))
+        def make_inner(cap):
+            """Ordered-visit while loop over this super's block keys;
+            cap (static int or None) bounds BODY iterations for the
+            re-cull split below."""
+            def inner_cond(st2):
+                nextg, _, _, best_t, _, _, _, lv = st2
+                ok = ((nextg[0] != INVALID)
+                      & ((nextg[0] & ~SMASK) <= worst_of(best_t)))
+                if cap is not None:
+                    ok = ok & (lv < cap)
+                return ok
 
-        def inner_body(st2):
-            nextg, g, bkeys, best_t, best_k, best_i, visits = st2
-            # Popped INVALID group members clamp to block 0 of this super
-            # — a redundant (harmless) visit at the candidate-list tail,
-            # the same trade v7 makes.
-            nxt, bkeys = pop_blocks(bkeys)
-            if not resident:
-                for u in range(pack):
-                    dma(1 - g, u,
-                        bbase + jnp.minimum(nxt[u] & SMASK, SUP - 1)).start()
-                for u in range(pack):
-                    dma(g, u,
-                        bbase + jnp.minimum(nextg[u] & SMASK, SUP - 1)).wait()
-            for u, m in enumerate(nextg):
-                cid = bbase + jnp.minimum(m & SMASK, SUP - 1)
-                c = coeff_ref[cid] if resident else cbuf[g, u]
-                best_t, best_k, best_i = visit(
-                    cid, c, voc, vdc, inst, best_t, best_k, best_i)
-            return nxt, 1 - g, bkeys, best_t, best_k, best_i, visits + pack
+            def inner_body(st2):
+                nextg, g, bkeys, best_t, best_k, best_i, visits, lv = st2
+                # Popped INVALID group members clamp to block 0 of this
+                # super — a redundant (harmless) visit at the
+                # candidate-list tail, the same trade v7 makes.
+                #
+                # stride > 1 (resident path): run `stride` exact-ordered
+                # {pop-ahead, visit} cycles per while-loop body.  The
+                # cond's stop-rule reduce (a (128,1) max + vector->scalar
+                # trip that CANNOT overlap anything — loop control gates
+                # the next iteration) is paid once per `stride` visits.
+                # Visit order is IDENTICAL to stride=1 (each cycle pops
+                # sequentially, unlike pack's near-minimal multi-pop);
+                # the only cost is up to stride-1 overshoot visits at the
+                # candidate-list tail (~4% extra visits, r4 probe 080).
+                for _ in range(stride):
+                    nxt, bkeys = pop_blocks(bkeys)
+                    if not resident:
+                        for u in range(pack):
+                            dma(1 - g, u, bbase
+                                + jnp.minimum(nxt[u] & SMASK, SUP - 1)
+                                ).start()
+                        for u in range(pack):
+                            dma(g, u, bbase
+                                + jnp.minimum(nextg[u] & SMASK, SUP - 1)
+                                ).wait()
+                    for u, m in enumerate(nextg):
+                        cid = bbase + jnp.minimum(m & SMASK, SUP - 1)
+                        c = coeff_ref[cid] if resident else cbuf[g, u]
+                        best_t, best_k, best_i = visit(
+                            cid, c, voc, vdc, inst, best_t, best_k, best_i)
+                    nextg = nxt
+                    g = 1 - g
+                    visits = visits + pack
+                return nextg, g, bkeys, best_t, best_k, best_i, visits, \
+                    lv + 1
+            return inner_cond, inner_body
 
-        endg, g_end, _, best_t, best_k, best_i, visits = jax.lax.while_loop(
-            inner_cond, inner_body,
-            (nextg, jnp.int32(0), bkeys, best_t, best_k, best_i, visits))
+        # Mid-traversal re-cull (r4): the block list above was computed
+        # against the PRE-super best_t; for incoherent tiles most rays
+        # finalize within the first few ordered visits, after which the
+        # stale list keeps feeding blocks only relevant to already-
+        # finished rays (measured: 62 visits/tile on bounce rays vs an
+        # oracle-t union of 18).  So: run RECULL_AFTER capped visits,
+        # re-run the per-ray block cull against the NOW-tight limits
+        # (limits only shrink, so the fresh pass-set is a subset; popped
+        # blocks stay retired via the INVALID mask), repeat per round,
+        # then finish uncapped.  Costs one extra cull per round per
+        # super; exactness unchanged (same ordered-visit stop rule,
+        # conservative culls throughout; measured bit-identical, probe
+        # 150).  Applies on the HBM path too — the re-cull reads only
+        # the always-resident block AABB panels, and the round split
+        # preserves the DMA double-buffer invariant (the pending group's
+        # copy is started before every round exit).
+        rr = (RECULL_ROUNDS_CLOSEST if mode == "closest"
+              else RECULL_ROUNDS_OCCLUDED)
+        rounds = [max(1, r // stride) for r in rr]
+        st2 = (nextg, jnp.int32(0), bkeys, best_t, best_k, best_i, visits,
+               jnp.int32(0))
+        for cap1 in rounds:
+            cond1, body1 = make_inner(cap1)
+            st2 = jax.lax.while_loop(cond1, body1, st2)
+            endg, g_end, bkeys, best_t, best_k, best_i, visits, _ = st2
+            fresh = cull(panel, jnp.minimum(best_t, tmax_c), 0, oc, iv, fl)
+            bkeys = jnp.where(bkeys == INVALID, INVALID, fresh)
+            st2 = (endg, g_end, bkeys, best_t, best_k, best_i, visits,
+                   jnp.int32(0))
+        cond2, body2 = make_inner(None)
+        st2 = jax.lax.while_loop(cond2, body2, st2)
+        endg, g_end, _, best_t, best_k, best_i, visits, _ = st2
         if not resident:
             # The exit iteration's group was started but never waited on.
             for u in range(pack):
@@ -385,7 +451,7 @@ def _tile_body(b, rays_ref, sup_ref, blk_ref, coeff_ref, outf_ref, outi_ref,
 
 
 def _trace_kernel(rays_ref, sup_ref, blk_ref, coeff_ref, *rest, cb, nl1,
-                  mode, common, resident, pack, instanced):
+                  mode, common, resident, pack, instanced, stride=1):
     rest = list(rest)
     tab_ref = rest.pop(0) if instanced else None
     inv_ref = rest.pop(0) if instanced else None
@@ -399,7 +465,7 @@ def _trace_kernel(rays_ref, sup_ref, blk_ref, coeff_ref, *rest, cb, nl1,
                                 tab_ref, inv_ref,
                                 cb=cb, nl1=nl1, mode=mode, common=common,
                                 resident=resident, pack=pack,
-                                instanced=instanced),
+                                instanced=instanced, stride=stride),
         jnp.int32(0))
 
 
@@ -455,8 +521,13 @@ def trace_blocks_hier(gpu: GPUScene, cfg: RenderConfig, ray_blocks, mode,
     # (measured: 91 ms pack=1 vs 116 ms pack=4 at 1080p/100k); closest
     # keeps v7's PACK=2 (bounce traces: 1639 -> 1392 ms).
     pack = PACK if mode == "closest" else 1
+    # Cond-stride (r4): amortize the while-loop's stop-rule reduce over
+    # STRIDE exact-ordered pop->visit cycles (see inner_body).  The HBM
+    # double-buffer invariant holds per cycle (each cycle starts the next
+    # group's copy and flips slots), so stride applies there too.
+    stride = STRIDE
     kw = dict(cb=cb, nl1=nl1, mode=mode, common=common, resident=resident,
-              pack=pack, instanced=instanced)
+              pack=pack, instanced=instanced, stride=stride)
     # Coefficients stay in VMEM up to RESIDENT_CB blocks; bigger scenes
     # keep them in HBM and the inner loop double-buffers per-visit DMAs.
     coeff_spec = (pl.BlockSpec(memory_space=pltpu.VMEM) if resident

@@ -104,6 +104,10 @@ OPACK = max(1, int(_knob("PB_OPACK", "4")))
 RESIDENT_CB = int(_knob("PB_RESIDENT_CB", "1024"))
 # Sub-bundles per 128-ray tile in the cull (1 = whole-tile hull).
 BUNDLES = max(1, int(_knob("PB_BUNDLES", "1")))
+# Exact-ordered pop->visit cycles per while-loop body (resident path):
+# pays the cond's unoverlappable stop-rule reduce once per STRIDE cycles
+# for <= STRIDE-1 tail-overshoot pops (r4 probe 080).
+STRIDE = max(1, int(_knob("PB_STRIDE", "1")))  # v7: stride 2 measured NEUTRAL-to-worse (67 vs 62 ms primaries, r4)
 
 CPB = 1024          # block keys per (8, 128) key page
 # Python float for in-kernel use (a jnp scalar would be a captured constant,
@@ -346,7 +350,7 @@ def cull_quarter_keys(rays, cl_min, cl_max, bundles: int = 1):
 
 def _trace_kernel(rays_ref, keys_ref, coeff_ref, outf_ref, outi_ref,
                   ent_ref, cbuf, sems, *, cbn, cb, mode, id_mask, pack,
-                  common, resident):
+                  common, resident, stride=1):
     """One grid cell = BT 128-ray tiles; mode 'closest' or 'occluded'.
 
     BT tiles share one grid step (fori_loop below) because Mosaic
@@ -370,13 +374,14 @@ def _trace_kernel(rays_ref, keys_ref, coeff_ref, outf_ref, outi_ref,
         lambda b, _: _tile_body(b, rays_ref, keys_ref, coeff_ref, outf_ref,
                                 outi_ref, ent_ref, cbuf, sems,
                                 cbn=cbn, cb=cb, mode=mode, id_mask=id_mask,
-                                pack=pack, common=common, resident=resident),
+                                pack=pack, common=common, resident=resident,
+                                stride=stride),
         jnp.int32(0))
 
 
 def _tile_body(b, rays_ref, keys_ref, coeff_ref, outf_ref, outi_ref,
                ent_ref, cbuf, sems, *, cbn, cb, mode, id_mask, pack,
-               common, resident):
+               common, resident, stride=1):
     """Full ordered-visit trace of ONE 128-ray tile (index b in the step)."""
     rays = rays_ref[b]                           # (8, 128)
     tmin_c = rays[6, :][:, None]                 # (128, 1) column
@@ -504,6 +509,18 @@ def _tile_body(b, rays_ref, keys_ref, coeff_ref, outf_ref, outi_ref,
 
     def body(state):
         keys, best_t, best_k, visits = state
+
+        # Cond-stride (r4): run `stride` exact-ordered {pop-ahead, visit}
+        # cycles per while body — the cond's stop-rule reduce (a (128,1)
+        # max + vector->scalar trip that loop control cannot overlap) is
+        # paid once per stride*pack visits.  Tail overshoot <= stride-1
+        # pops (~4% extra visits for a ~15-35% machinery saving, r4).
+        for _ in range(stride):
+            keys, best_t, best_k, visits = _cycle(
+                keys, best_t, best_k, visits)
+        return (keys, best_t, best_k, visits)
+
+    def _cycle(keys, best_t, best_k, visits):
         g = jax.lax.rem(visits, 2)
 
         # Pop first: the NEXT keys' vector->scalar trip (and, on the HBM
@@ -612,8 +629,11 @@ def trace_blocks(gpu: GPUScene, cfg: RenderConfig, ray_blocks, mode,
     cbn = keys.shape[1]
 
     pack = PACK if mode == "closest" else OPACK
+    # Cond-stride (r4): exact-ordered pop->visit cycles per while body;
+    # resident path only (the HBM pipeline keeps stride=1).
+    stride = STRIDE if resident else 1
     kw = dict(cbn=cbn, cb=cb, mode=mode, id_mask=id_mask,
-              pack=pack, common=common, resident=resident)
+              pack=pack, common=common, resident=resident, stride=stride)
     scratch = [pltpu.VMEM((cbn, 8, 128), I32)]
     if resident:
         coeff_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
