@@ -134,6 +134,13 @@ class RenderConfig:
     batch_occlusion: bool = False
     batch_occlusion_min_rays: int = 65536
 
+    # Denoiser kernel dispatch: None = auto (fused Pallas pair kernel on
+    # TPU for non-differentiated renders, XLA stencil when a JVP rides the
+    # trace or off-TPU); True/False force one path.  The auto detection
+    # walks nested tracers (render/pipeline.py _carries_jvp) so vmapped
+    # grads are routed correctly.
+    use_pallas_denoise: bool | None = None
+
     # Mip-mapped (trilinear) texture sampling with footprint-derived LOD
     # (image_sampler.cppm:11-51 parity).  Default off: the golden tests
     # compare exact base-level bilinear against the CPU reference, which

