@@ -109,6 +109,9 @@ def make_train_step(cfg: RenderConfig, mesh: jax.sharding.Mesh,
             mesh=mesh,
             in_specs=(P(), P(), P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS)),
             out_specs=P(),
+            # Mosaic trace kernels inside the body carry no vma
+            # annotations (see parallel/sharded.py sharded_shade).
+            check_vma=False,
         )
         def fn(p, g, o, d, seed, t):
             local = radiance_loss(p, g, cfg, o, d, seed, t)

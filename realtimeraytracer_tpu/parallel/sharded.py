@@ -46,6 +46,12 @@ def sharded_shade(
         mesh=mesh,
         in_specs=(P(), P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS)),
         out_specs=P(RAY_AXIS),
+        # The Mosaic trace kernels run INSIDE the sharded body on TPU;
+        # pallas_call's out_shape carries no varying-mesh-axes (vma)
+        # annotation, which the vma checker rejects.  The body is
+        # collective-free (pure per-ray map, scene replicated), so the
+        # check adds nothing here.
+        check_vma=False,
     )
     def fn(g, o, d, seed):
         backend = make_backend(g, cfg)

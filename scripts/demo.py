@@ -35,6 +35,14 @@ SCENES = {
     "mesh100k": lambda: (scenes.procedural_mesh(100_000),
                          rt.RenderConfig(width=1920, height=1080, primary_rays=2,
                                          shadow_rays=2)),
+    # Flagship textured-PBR scene: OBJ+MTL with color/specular/metallic/
+    # opacity maps, alpha-cutout foliage, HDRI sky, 2 area lights + sun
+    # (create_scene.cppm:75-136, application.cppm:226-250 parity).
+    "textured": lambda: (scenes.textured_obj(),
+                         rt.RenderConfig(width=1920, height=1080,
+                                         primary_rays=2, shadow_rays=3,
+                                         shadow_ray_margin=0.05,
+                                         mip_textures=True)),
     # HDRI sky on primary-ray miss (miss.rmiss parity).
     "sky": lambda: (scenes.sky_sphere(),
                     rt.RenderConfig(width=960, height=540, primary_rays=2,
