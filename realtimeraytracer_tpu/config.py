@@ -22,6 +22,12 @@ class RenderConfig:
     # Sampling (reference: raygen.rgen:8-9).
     primary_rays: int = 4           # jittered primary rays (spp)
     jitter: bool = True             # sub-pixel jitter (off for golden tests)
+    # Shadow samples per light-triangle per spp.  3 is reference parity;
+    # 2 is the measured near-parity fast preset: SSIM vs a 48-sample
+    # converged frame is 0.9603 vs 0.9623 at 3 (PERF.md r4), for ~19%
+    # less frame time — the r4 quality study found the reference's phi
+    # defaults already optimal, so LOWER sampling, not stronger
+    # denoising, is the honest speed knob.
     shadow_rays: int = 3            # shadow samples per light-triangle per spp
     # Wavefront path-trace depth.  The reference's ACTIVE pipeline traces
     # exactly one surface bounce per primary ray (raygen.rgen dispatches
@@ -81,10 +87,12 @@ class RenderConfig:
     alpha_rounds: int = 4
     alpha_threshold: float = 0.9
 
-    # Trace backend: "auto" (packet when a BVH exists, else brute),
-    # "brute", "lane" (per-ray gather traversal), "packet".
+    # Trace backend: "auto" (hybrid Mosaic kernels on TPU / wide XLA twin
+    # elsewhere when a BVH exists, else brute), or explicitly "brute",
+    # "wide", "pallas" (v7), "hier" (v8), "quarter" (v9), "hybrid".
+    # "packet"/"lane" were retired to render/attic/ (r4).
     backend: str = "auto"
-    packet_size: int = 64           # rays per packet (packet backend)
+    packet_size: int = 64           # rays per packet (attic packet backend)
     traversal_unroll: int = 8       # skip-link steps per while-loop iteration
     # Wide backend (render/wide_backend.py): dense cluster culling + MXU
     # Baldwin-Weber intersection.
@@ -130,7 +138,9 @@ class RenderConfig:
     # 1080p/100k) while concatenating ~6x the ray state in HBM.  It pays
     # 20% (730 -> 585 ms for 6 segments) only when each trace is its own
     # jit call and eats host dispatch — enable for eager/per-call usage
-    # (scripts/batch_occl_probe.py).
+    # (scripts/batch_occl_probe.py).  Only takes effect on the unrolled
+    # <= 8-light-triangle path; larger light counts use lax.scan and log
+    # a warning that the flag is ignored.
     batch_occlusion: bool = False
     batch_occlusion_min_rays: int = 65536
 

@@ -164,8 +164,7 @@ def make_backend(gpu: GPUScene, cfg: RenderConfig) -> TraceBackend:
             kind = "hybrid" if jax.default_backend() == "tpu" else "wide"
         else:
             kind = "brute"
-    if (kind in ("packet", "lane", "wide", "pallas", "hier", "hybrid",
-             "quarter")
+    if (kind in ("wide", "pallas", "hier", "hybrid", "quarter")
             and not gpu.has_bvh and not gpu.instanced):
         # (instanced scenes carry traversal panels but no LBVH nodes —
         # the hier kernel is their only and correct path)
@@ -190,14 +189,11 @@ def make_backend(gpu: GPUScene, cfg: RenderConfig) -> TraceBackend:
         from realtimeraytracer_tpu.render.wide_backend import make_wide_backend
 
         backend = make_wide_backend(gpu, cfg)
-    elif kind == "packet":
-        from realtimeraytracer_tpu.render.packet_backend import make_packet_backend
-
-        backend = make_packet_backend(gpu, cfg)
-    elif kind == "lane":
-        from realtimeraytracer_tpu.render.bvh_backend import make_bvh_backend
-
-        backend = make_bvh_backend(gpu, cfg)
+    elif kind in ("packet", "lane"):
+        raise ValueError(
+            f"backend {kind!r} was retired to render/attic/ (superseded "
+            "by wide/hier/quarter); import it from there explicitly if "
+            "you need the historical implementation")
     elif kind == "brute":
         backend = make_bruteforce_backend(gpu, cfg)
     else:

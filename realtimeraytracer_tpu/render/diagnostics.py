@@ -42,7 +42,7 @@ def diagnose_traversal(gpu: GPUScene, cfg: RenderConfig, origins, dirs,
         fn = wide_closest if mode == "closest" else wide_occluded
         return fn(gpu, cfg, origins, dirs, t_min, t_max, return_stats=True)
     if kind == "lane":
-        from realtimeraytracer_tpu.render.bvh_backend import (
+        from realtimeraytracer_tpu.render.attic.bvh_backend import (
             traverse_closest, traverse_occluded)
 
         fn = traverse_closest if mode == "closest" else traverse_occluded

@@ -353,6 +353,15 @@ def shade_sample(
                                       occ_override=occ_overrides[i])
         analytic, shadowed, unshadowed = carry
     else:
+        if cfg.batch_occlusion:
+            from realtimeraytracer_tpu.utils import log
+
+            # ADVICE r3: the batched-occlusion prepass exists only on the
+            # unrolled small-light-count path; say so instead of silently
+            # ignoring the flag.
+            log.warn("batch_occlusion is ignored for scenes with more "
+                     "than 8 light triangles (lax.scan path); shadow "
+                     "segments trace per light as usual")
         (analytic, shadowed, unshadowed), _ = jax.lax.scan(
             light_tri_step, (zeros, zeros, zeros), lts
         )

@@ -53,6 +53,7 @@ from realtimeraytracer_tpu.ops.intersect import BIG_T, HitRecord
 from realtimeraytracer_tpu.render.pallas_backend import (
     BIG,
     BT,
+    BUNDLES,
     CB,
     CPB,
     CROWS,
@@ -193,6 +194,13 @@ def _tile_body(b, rays_ref, keys_ref, coeff_ref, outf_ref, outi_ref,
         nxt = pop_all()
 
         for u in range(pack):
+            # A drained quarter stream pops INVALID, which clamps to
+            # panel cb-1; that panel is then re-composited every
+            # remaining iteration.  Provably harmless (ADVICE r3): the
+            # cull is conservative and the (t | lane) min-reduction is
+            # idempotent, so a re-visited culled/visited panel can never
+            # yield a new best hit — it only wastes that quarter's lanes
+            # until the stop rule fires on the surviving streams.
             cids = [jnp.minimum(keys[q][u] & id_mask, cb - 1)
                     for q in range(NQ)]
             best_t, best_k = one_visit(cids, best_t, best_k)
@@ -244,7 +252,11 @@ def trace_blocks_quarter(gpu: GPUScene, cfg: RenderConfig, ray_blocks,
             f"v9 quarter kernel is VMEM-resident only ({cb} blocks > "
             f"{RESIDENT_CB}); callers must route larger scenes to v8")
 
-    keys, id_mask = cull_quarter_keys(ray_blocks, cl_min, cl_max)
+    # bundles=BUNDLES: the PB_BUNDLES sub-bundle cull knob applies to v9
+    # exactly as to v7's cull_keys (ADVICE r3: it was silently ignored
+    # here, skewing knob sweeps comparing the two paths).
+    keys, id_mask = cull_quarter_keys(ray_blocks, cl_min, cl_max,
+                                      bundles=BUNDLES)
     cbn = keys.shape[2]
     keys = keys.reshape(ts, NQ * cbn, 8, 128)
 

@@ -262,39 +262,62 @@ def textured_obj(cache_dir: str | None = None) -> Scene:
     quad.v = 0
     quad.vt = 0
     L = ["mtllib scene.mtl", "o ground", "usemtl ground"]
+    # Tessellated ground: 24x24 cells, per-cell 0..1 UVs (tiling checker)
+    # — puts the scene well past the BVH threshold so the flagship frame
+    # runs the production hier/quarter kernels, not brute force.
     S = 14.0
-    quad([(-S, 0, -S), (S, 0, -S), (S, 0, S), (-S, 0, S)], L)
+    NG = 24
+    step = 2 * S / NG
+    for gi in range(NG):
+        for gj in range(NG):
+            x0 = -S + gi * step
+            z0 = -S + gj * step
+            quad([(x0, 0, z0), (x0, 0, z0 + step),
+                  (x0 + step, 0, z0 + step), (x0 + step, 0, z0)], L)
     L.append("o foliage")
     L.append("usemtl leaf")
-    # Foliage cards are two-sided (both windings) like real alpha cards.
-    for card in ([(-3, 0, -1), (-1, 0, 1), (-1, 3, 1), (-3, 3, -1)],
-                 [(-3, 0, 1), (-1, 0, -1), (-1, 3, -1), (-3, 3, 1)]):
-        quad(card, L)
-        quad(card[::-1], L)
+    # A 6x6 stand of two-sided crossed alpha cards.
+    rngf = np.random.default_rng(5)
+    for fi in range(6):
+        for fj in range(6):
+            cx = -9.0 + fi * 2.6 + float(rngf.uniform(-0.5, 0.5))
+            cz = -9.0 + fj * 2.6 + float(rngf.uniform(-0.5, 0.5))
+            hgt = float(rngf.uniform(1.6, 2.8))
+            w2 = 0.9
+            # Single-winding cards: duplicating both windings makes
+            # coincident coplanar triangles whose closest-hit TIES
+            # resolve differently per backend (normal flips) — the
+            # golden-vs-oracle killer.  One-sided shading darkens the
+            # back side, which is fine for cutout cards.
+            for card in ([(cx - w2, 0, cz - w2), (cx + w2, 0, cz + w2),
+                          (cx + w2, hgt, cz + w2), (cx - w2, hgt, cz - w2)],
+                         [(cx - w2, 0, cz + w2), (cx + w2, 0, cz - w2),
+                          (cx + w2, hgt, cz - w2), (cx - w2, hgt, cz + w2)]):
+                quad(card, L)
     L.append("o pillar")
     L.append("usemtl metal")
-    for (a, b) in [((2.0, -0.8), (3.2, 0.4))]:
-        x0, z0 = a
-        x1, z1 = b
+
+    def prism(x0, z0, x1, z1, h, lines):
         for (p, q, r, t) in [
-            ((x0, 0, z0), (x1, 0, z0), (x1, 4, z0), (x0, 4, z0)),
-            ((x1, 0, z1), (x0, 0, z1), (x0, 4, z1), (x1, 4, z1)),
-            ((x0, 0, z1), (x0, 0, z0), (x0, 4, z0), (x0, 4, z1)),
-            ((x1, 0, z0), (x1, 0, z1), (x1, 4, z1), (x1, 4, z0)),
-            ((x0, 4, z0), (x1, 4, z0), (x1, 4, z1), (x0, 4, z1)),
+            ((x1, 0, z0), (x1, h, z0), (x0, h, z0), (x0, 0, z0)),
+            ((x0, 0, z1), (x0, h, z1), (x1, h, z1), (x1, 0, z1)),
+            ((x0, 0, z0), (x0, h, z0), (x0, h, z1), (x0, 0, z1)),
+            ((x1, 0, z1), (x1, h, z1), (x1, h, z0), (x1, 0, z0)),
+            ((x0, h, z0), (x1, h, z0), (x1, h, z1), (x0, h, z1)),
         ]:
-            quad([p, q, r, t], L)
+            quad([p, q, r, t], lines)
+
+    for pi in range(3):
+        for pj in range(3):
+            px = 2.0 + pi * 3.4
+            pz = -5.0 + pj * 4.2
+            prism(px, pz, px + 1.1, pz + 1.1, 3.0 + 0.8 * ((pi + pj) % 3), L)
     L.append("o box")
     L.append("usemtl paint")
-    x0, z0, x1, z1, h = -0.8, 2.2, 0.8, 3.8, 1.2
-    for (p, q, r, t) in [
-        ((x0, 0, z0), (x1, 0, z0), (x1, h, z0), (x0, h, z0)),
-        ((x1, 0, z1), (x0, 0, z1), (x0, h, z1), (x1, h, z1)),
-        ((x0, 0, z1), (x0, 0, z0), (x0, h, z0), (x0, h, z1)),
-        ((x1, 0, z0), (x1, 0, z1), (x1, h, z1), (x1, h, z0)),
-        ((x0, h, z0), (x1, h, z0), (x1, h, z1), (x0, h, z1)),
-    ]:
-        quad([p, q, r, t], L)
+    for bi in range(6):
+        bx = -6.5 + bi * 2.3
+        bz = 4.0 + (bi % 2) * 1.6
+        prism(bx, bz, bx + 1.3, bz + 1.3, 0.9 + 0.25 * (bi % 3), L)
     with open(os.path.join(d, "scene.obj"), "w") as f:
         f.write("\n".join(L) + "\n")
 

@@ -61,51 +61,6 @@ class TestTraversalVsBruteForce:
         scene.add(TriangleMesh(vertices=verts, faces=faces))
         return scene.compile(bvh_threshold=0)
 
-    def test_closest_matches(self):
-        gpu = self._gpu_with_bvh(500)
-        o, d = _random_rays(512)
-        cfg = RenderConfig(max_traversal_steps=4096)
-        from realtimeraytracer_tpu.render.bvh_backend import traverse_closest
-
-        got = traverse_closest(gpu, cfg, jnp.asarray(o), jnp.asarray(d), 1e-3, 1e4)
-        want = intersect.intersect_tris_bruteforce(
-            jnp.asarray(o), jnp.asarray(d), gpu.vertices, gpu.faces, 1e-3, 1e4)
-        np.testing.assert_array_equal(np.asarray(got.prim_id >= 0),
-                                      np.asarray(want.prim_id >= 0))
-        hit = np.asarray(want.prim_id >= 0)
-        np.testing.assert_allclose(np.asarray(got.t)[hit],
-                                   np.asarray(want.t)[hit], rtol=1e-4)
-        # Same triangle except exact-tie cases.
-        same = (np.asarray(got.prim_id) == np.asarray(want.prim_id))
-        assert same[hit].mean() > 0.999
-
-    def test_packet_closest_matches_brute(self):
-        gpu = self._gpu_with_bvh(500, seed=7)
-        o, d = _random_rays(512, seed=8)
-        cfg = RenderConfig(packet_size=32)
-        from realtimeraytracer_tpu.render.packet_backend import packet_closest
-
-        got = packet_closest(gpu, cfg, jnp.asarray(o), jnp.asarray(d), 1e-3, 1e4)
-        want = intersect.intersect_tris_bruteforce(
-            jnp.asarray(o), jnp.asarray(d), gpu.vertices, gpu.faces, 1e-3, 1e4)
-        np.testing.assert_array_equal(np.asarray(got.prim_id >= 0),
-                                      np.asarray(want.prim_id >= 0))
-        hit = np.asarray(want.prim_id >= 0)
-        np.testing.assert_allclose(np.asarray(got.t)[hit],
-                                   np.asarray(want.t)[hit], rtol=1e-4)
-
-    def test_packet_occluded_matches_brute(self):
-        gpu = self._gpu_with_bvh(300, seed=9)
-        o, d = _random_rays(500, seed=10)  # deliberately not a tile multiple
-        cfg = RenderConfig(packet_size=64)
-        from realtimeraytracer_tpu.render.packet_backend import packet_occluded
-
-        tmax = jnp.full((500,), 3.0)
-        got = packet_occluded(gpu, cfg, jnp.asarray(o), jnp.asarray(d), 1e-3, tmax)
-        want = intersect.occluded_tris_bruteforce(
-            jnp.asarray(o), jnp.asarray(d), gpu.vertices, gpu.faces, 1e-3, tmax)
-        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
-
     def test_wide_closest_matches_brute(self):
         gpu = self._gpu_with_bvh(700, seed=11)
         o, d = _random_rays(512, seed=12)
@@ -136,14 +91,3 @@ class TestTraversalVsBruteForce:
             jnp.asarray(o), jnp.asarray(d), gpu.vertices, gpu.faces, 1e-3, tmax)
         assert (np.asarray(got) != np.asarray(want)).mean() < 5e-3
 
-    def test_occluded_matches(self):
-        gpu = self._gpu_with_bvh(300, seed=3)
-        o, d = _random_rays(512, seed=4)
-        cfg = RenderConfig(max_traversal_steps=4096)
-        from realtimeraytracer_tpu.render.bvh_backend import traverse_occluded
-
-        tmax = jnp.full((512,), 3.0)
-        got = traverse_occluded(gpu, cfg, jnp.asarray(o), jnp.asarray(d), 1e-3, tmax)
-        want = intersect.occluded_tris_bruteforce(
-            jnp.asarray(o), jnp.asarray(d), gpu.vertices, gpu.faces, 1e-3, tmax)
-        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
