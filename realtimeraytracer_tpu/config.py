@@ -156,6 +156,12 @@ class RenderConfig:
     # compare exact base-level bilinear against the CPU reference, which
     # has no mip chain; interactive/production paths should enable it.
     mip_textures: bool = False
+    # Anisotropic filtering taps along the footprint's major axis
+    # (image_sampler.cppm maxAnisotropy parity).  1 = isotropic trilinear
+    # (grazing angles over-blur); 2-4 = N trilinear taps at the
+    # minor-axis LOD (each tap is 2 more R-sized gathers — keep small).
+    # Only active with mip_textures=True on non-instanced scenes.
+    aniso_taps: int = 1
 
     # Numerics: intersection math is always f32; shading may be bf16 later.
     dtype: str = "float32"

@@ -228,3 +228,29 @@ def sample_atlas_mip(mip_atlas, sizes, num_levels, tex_id, u, v, lod):
     c0 = _sample_atlas_level(mip_atlas, sizes, tex_id, u, v, k0)
     c1 = _sample_atlas_level(mip_atlas, sizes, tex_id, u, v, k1)
     return c0 * (1.0 - f) + c1 * f
+
+
+def sample_atlas_aniso(mip_atlas, sizes, num_levels, tex_id, u, v,
+                       lod_minor, duv_half, taps: int):
+    """Anisotropic mip sample: `taps` trilinear fetches spread along the
+    footprint's MAJOR axis, each at the MINOR-axis LOD.
+
+    image_sampler.cppm:11-51 parity upgrade: the reference samples with
+    maxAnisotropy; the isotropic path must blur to the major-axis extent
+    at grazing angles, while this keeps the minor-axis sharpness and
+    covers the major extent with discrete taps (the classic N-tap
+    approximation of EWA).  duv_half: (..., 2) HALF major-axis vector in
+    uv space; taps static (each tap costs a trilinear fetch = 2 gathers,
+    so 2-4 taps is the practical TPU range).
+    """
+    if taps <= 1:
+        return sample_atlas_mip(mip_atlas, sizes, num_levels, tex_id, u, v,
+                                lod_minor)
+    acc = None
+    for i in range(taps):
+        c = (2.0 * (i + 0.5) / taps) - 1.0
+        ci = sample_atlas_mip(mip_atlas, sizes, num_levels, tex_id,
+                              u + c * duv_half[..., 0],
+                              v + c * duv_half[..., 1], lod_minor)
+        acc = ci if acc is None else acc + ci
+    return acc * (1.0 / taps)

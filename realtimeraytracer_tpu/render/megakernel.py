@@ -110,7 +110,8 @@ def shade_sample(
                           common="origin")
     surf = resolve_surface(
         gpu, hit, origins, dirs,
-        lod_scale=lod_scale if cfg.mip_textures else None)
+        lod_scale=lod_scale if cfg.mip_textures else None,
+        aniso_taps=cfg.aniso_taps)
 
     # --- miss: equirect HDRI environment (miss.rmiss:21-26) --------------
     env = srgb_to_linear(sample_equirect(gpu.hdri, dirs)) * gpu.env_color
