@@ -118,3 +118,54 @@ class TestWorkDivision:
         per_dev8 = f8 if f8 < 0.6 * f1 else f8 / 8
         eff = f1 / (8 * per_dev8)
         assert eff >= 0.85, f"work-division efficiency {eff:.2%} < 85%"
+
+
+class TestShardedDenoiser:
+    def test_halo_exchanged_denoise_matches_unsharded(self):
+        """Row-sharded A-Trous with per-iteration halo ppermute must equal
+        the unsharded pipeline exactly — same per-pixel arithmetic, halo
+        rows supplied by neighbors (VERDICT r3 next #7)."""
+        import jax
+
+        from realtimeraytracer_tpu import scenes
+        from realtimeraytracer_tpu.parallel.sharded import (
+            render_pipeline_sharded)
+        from realtimeraytracer_tpu.render.pipeline import render_pipeline_gpu
+
+        # 64 rows over 8 devices = 8 rows/device — exactly the
+        # 2*iterations halo a single ring neighbor can supply.
+        cfg = CFG.replace(denoise_iterations=4, width=64, height=64)
+        scene = scenes.cornell_box()
+        gpu = scene.compile()
+        frame = scene.camera.viewport_frame(cfg.width, cfg.height)
+        mesh = make_ray_mesh(8)
+        img_s = np.asarray(jax.jit(
+            lambda g, f: render_pipeline_sharded(g, f, cfg, mesh, 0))(
+                gpu, frame))
+        img_u = np.asarray(jax.jit(
+            lambda g, f: render_pipeline_gpu(g, f, cfg, 0))(gpu, frame))
+        np.testing.assert_allclose(img_s, img_u, atol=1e-6)
+
+    def test_sharded_denoise_hlo_has_no_full_gather(self):
+        """The compiled 8-device pipeline must contain collective ops only
+        of halo size: ppermutes of (2*iters, W, 3) slabs, never an
+        all-gather of the full image before denoising."""
+        import jax
+
+        from realtimeraytracer_tpu import scenes
+        from realtimeraytracer_tpu.parallel.sharded import (
+            render_pipeline_sharded)
+
+        cfg = CFG.replace(denoise_iterations=4, width=64, height=64)
+        scene = scenes.cornell_box()
+        gpu = scene.compile()
+        frame = scene.camera.viewport_frame(cfg.width, cfg.height)
+        mesh = make_ray_mesh(8)
+        hlo = jax.jit(
+            lambda g, f: render_pipeline_sharded(g, f, cfg, mesh, 0)
+        ).lower(gpu, frame).compile().as_text()
+        assert "collective-permute" in hlo, "halo exchange missing"
+        # No all-gather reconstructing the (H, W, 3) image mid-pipeline.
+        for line in hlo.splitlines():
+            if "all-gather" in line and "f32[64,64,3]" in line:
+                raise AssertionError(f"full-image gather found: {line}")
