@@ -26,7 +26,27 @@ from realtimeraytracer_tpu.render.backends import TraceBackend
 from realtimeraytracer_tpu.scene.gpu_scene import GPUScene
 
 
-def hit_alpha(gpu: GPUScene, hit: HitRecord, origins, dirs) -> jnp.ndarray:
+def _alpha_face_row(gpu: GPUScene) -> jnp.ndarray:
+    """Per-face wide row for hit_alpha: [v0 v1 v2 | uv0 uv1 uv2 | tex].
+
+    TPU gathers cost ~10-40 ms per 2M rays REGARDLESS of row width
+    (PERF.md), and the alpha ladder evaluates opacity once per re-trace
+    round: the naive formulation paid ~10 R-sized gathers per round
+    (faces, 3x vertices, 3x uvs, obj, tex) — measured as the dominant
+    term of the 32 s alpha-on flagship frame (r4).  One (F, 16) row +
+    one gather replaces them all; assembled in-graph from the scene
+    arrays (F-sized gathers are ~20x cheaper than R-sized ones)."""
+    f0, f1, f2 = gpu.faces[:, 0], gpu.faces[:, 1], gpu.faces[:, 2]
+    tex = gpu.obj_tex[gpu.face_obj, 3].astype(jnp.float32)
+    return jnp.concatenate([
+        gpu.vertices[f0], gpu.vertices[f1], gpu.vertices[f2],
+        gpu.uvs[f0], gpu.uvs[f1], gpu.uvs[f2],
+        tex[:, None],
+    ], axis=1)                                           # (F, 16)
+
+
+def hit_alpha(gpu: GPUScene, hit: HitRecord, origins, dirs,
+              face_row: jnp.ndarray | None = None) -> jnp.ndarray:
     """Opacity of each hit (1.0 where the object has no opacity map or the
     hit is a sphere/miss). Mirrors opacity.rahit's uv interpolation.
 
@@ -38,17 +58,17 @@ def hit_alpha(gpu: GPUScene, hit: HitRecord, origins, dirs) -> jnp.ndarray:
     num_tris = gpu.faces.shape[0]
     is_tri = (hit.prim_id >= 0) & (hit.prim_id < num_tris)
     tid = jnp.clip(hit.prim_id, 0, max(num_tris - 1, 0))
-    f = gpu.faces[tid]
-    _, rt_u, rt_v, rt_ok = ray_triangle(
-        origins, dirs, gpu.vertices[f[..., 0]], gpu.vertices[f[..., 1]],
-        gpu.vertices[f[..., 2]])
+    if face_row is None:
+        face_row = _alpha_face_row(gpu)
+    g = face_row[tid]                       # (R, 16) — the one big gather
+    v0, v1, v2 = g[..., 0:3], g[..., 3:6], g[..., 6:9]
+    _, rt_u, rt_v, rt_ok = ray_triangle(origins, dirs, v0, v1, v2)
     hu = jnp.where(rt_ok, rt_u, hit.u)
     hv = jnp.where(rt_ok, rt_v, hit.v)
     w0 = (1.0 - hu - hv)[..., None]
-    uv = (gpu.uvs[f[..., 0]] * w0 + gpu.uvs[f[..., 1]] * hu[..., None]
-          + gpu.uvs[f[..., 2]] * hv[..., None])
-    obj = gpu.face_obj[tid]
-    tex = gpu.obj_tex[obj, 3]
+    uv = (g[..., 9:11] * w0 + g[..., 11:13] * hu[..., None]
+          + g[..., 13:15] * hv[..., None])
+    tex = g[..., 15].astype(jnp.int32)
     a = sample_atlas(gpu.tex_atlas, gpu.tex_size, tex, uv[..., 0], uv[..., 1])[..., 0]
     return jnp.where(is_tri & (tex >= 0), a, 1.0)
 
@@ -72,18 +92,27 @@ def wrap_backend_with_alpha(backend: TraceBackend, gpu: GPUScene,
         pass
     threshold = cfg.alpha_threshold
     eps = 1e-4
+    face_row = _alpha_face_row(gpu)
 
     def closest(origins, dirs, t_min, t_max, common=None):
-        # fori ladder (not Python unroll): each round re-traces only the
-        # rays whose hit was alpha-rejected; one trace instance compiles.
+        # while ladder with EARLY EXIT: a round only runs while SOME ray
+        # still has an alpha-rejected hit (rounds<cap keeps shapes and
+        # semantics of the old fixed fori ladder).  Scenes where most
+        # rays terminate opaque in round 0 pay ~1 trace, not alpha_rounds
+        # (the fixed ladder cost the flagship frame 6 traces per query
+        # regardless of need).
         r = origins.shape[0]
         t_lo0 = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (r,))
         hit0 = backend.closest(origins, dirs, t_lo0, t_max, common=common)
+        a0 = hit_alpha(gpu, hit0, origins, dirs, face_row)
+        rej0 = hit0.hit & (a0 < threshold)
 
-        def round_fn(_, state):
-            hit, t_lo = state
-            a = hit_alpha(gpu, hit, origins, dirs)
-            rejected = hit.hit & (a < threshold)
+        def cond(state):
+            hit, t_lo, rejected, rounds = state
+            return jnp.any(rejected) & (rounds < cfg.alpha_rounds)
+
+        def round_fn(state):
+            hit, t_lo, rejected, rounds = state
             t_lo = jnp.where(rejected, hit.t + eps, t_lo)
             re = backend.closest(origins, dirs, t_lo, t_max, common=common)
             hit = HitRecord(
@@ -92,26 +121,32 @@ def wrap_backend_with_alpha(backend: TraceBackend, gpu: GPUScene,
                 u=jnp.where(rejected, re.u, hit.u),
                 v=jnp.where(rejected, re.v, hit.v),
             )
-            return hit, t_lo
+            a = hit_alpha(gpu, hit, origins, dirs, face_row)
+            rejected = hit.hit & (a < threshold)
+            return hit, t_lo, rejected, rounds + 1
 
-        hit, _ = jax.lax.fori_loop(0, cfg.alpha_rounds, round_fn, (hit0, t_lo0))
+        hit, _, _, _ = jax.lax.while_loop(
+            cond, round_fn, (hit0, t_lo0, rej0, jnp.int32(0)))
         return hit
 
     def occluded(origins, dirs, t_min, t_max, common=None):
         # Any-hit with alpha: occluded iff some OPAQUE hit lies in range.
-        # Walk a closest-hit ladder, stepping past transparent surfaces.
+        # Same early-exit ladder, stepping past transparent surfaces.
         r = origins.shape[0]
         t_max_v = jnp.broadcast_to(t_max, (r,)).astype(jnp.float32)
         t_lo0 = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (r,))
         hit0 = backend.closest(origins, dirs, t_lo0, t_max_v, common=common)
-        occ0 = jnp.zeros((r,), bool)
+        a0 = hit_alpha(gpu, hit0, origins, dirs, face_row)
+        in0 = hit0.hit & (hit0.t < t_max_v)
+        occ0 = in0 & (a0 >= threshold)
+        tr0 = in0 & (a0 < threshold) & ~occ0
 
-        def round_fn(_, state):
-            hit, occ, t_lo = state
-            a = hit_alpha(gpu, hit, origins, dirs)
-            in_range = hit.hit & (hit.t < t_max_v)
-            occ = occ | (in_range & (a >= threshold))
-            transparent = in_range & (a < threshold) & ~occ
+        def cond(state):
+            hit, occ, t_lo, transparent, rounds = state
+            return jnp.any(transparent) & (rounds < cfg.alpha_rounds + 1)
+
+        def round_fn(state):
+            hit, occ, t_lo, transparent, rounds = state
             t_lo = jnp.where(transparent, hit.t + eps, t_lo)
             re = backend.closest(origins, dirs, t_lo, t_max_v, common=common)
             hit = HitRecord(
@@ -120,13 +155,14 @@ def wrap_backend_with_alpha(backend: TraceBackend, gpu: GPUScene,
                 u=jnp.where(transparent, re.u, hit.u),
                 v=jnp.where(transparent, re.v, hit.v),
             )
-            return hit, occ, t_lo
+            a = hit_alpha(gpu, hit, origins, dirs, face_row)
+            in_range = hit.hit & (hit.t < t_max_v)
+            occ = occ | (in_range & (a >= threshold))
+            transparent = in_range & (a < threshold) & ~occ
+            return hit, occ, t_lo, transparent, rounds + 1
 
-        hit, occ, _ = jax.lax.fori_loop(
-            0, cfg.alpha_rounds + 1, round_fn, (hit0, occ0, t_lo0))
-        # Account for the final state's hit too (last re-trace result).
-        a = hit_alpha(gpu, hit, origins, dirs)
-        occ = occ | (hit.hit & (hit.t < t_max_v) & (a >= threshold))
+        _, occ, _, _, _ = jax.lax.while_loop(
+            cond, round_fn, (hit0, occ0, t_lo0, tr0, jnp.int32(0)))
         return occ
 
     # occluded_multi is NOT forwarded: alpha-tested occlusion re-traces

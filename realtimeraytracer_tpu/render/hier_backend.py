@@ -145,7 +145,8 @@ def pack_hierarchy(cl_min, cl_max):
 
 def _tile_body(b, rays_ref, sup_ref, blk_ref, coeff_ref, outf_ref, outi_ref,
                sk_ref, cbuf, sems, tab_ref, inv_ref, *, cb, nl1, mode,
-               common, resident, pack, instanced, stride=1):
+               common, resident, pack, instanced, stride=1,
+               recull_rounds=()):
     """Full hierarchical trace of ONE 128-ray tile (index b in the step).
 
     nl1: number of valid L1 entries (superclusters, or (instance, super)
@@ -404,9 +405,7 @@ def _tile_body(b, rays_ref, sup_ref, blk_ref, coeff_ref, outf_ref, outi_ref,
         # the always-resident block AABB panels, and the round split
         # preserves the DMA double-buffer invariant (the pending group's
         # copy is started before every round exit).
-        rr = (RECULL_ROUNDS_CLOSEST if mode == "closest"
-              else RECULL_ROUNDS_OCCLUDED)
-        rounds = [max(1, r // stride) for r in rr]
+        rounds = [max(1, r // stride) for r in recull_rounds]
         st2 = (nextg, jnp.int32(0), bkeys, best_t, best_k, best_i, visits,
                jnp.int32(0))
         for cap1 in rounds:
@@ -451,7 +450,8 @@ def _tile_body(b, rays_ref, sup_ref, blk_ref, coeff_ref, outf_ref, outi_ref,
 
 
 def _trace_kernel(rays_ref, sup_ref, blk_ref, coeff_ref, *rest, cb, nl1,
-                  mode, common, resident, pack, instanced, stride=1):
+                  mode, common, resident, pack, instanced, stride=1,
+                  recull_rounds=()):
     rest = list(rest)
     tab_ref = rest.pop(0) if instanced else None
     inv_ref = rest.pop(0) if instanced else None
@@ -465,7 +465,8 @@ def _trace_kernel(rays_ref, sup_ref, blk_ref, coeff_ref, *rest, cb, nl1,
                                 tab_ref, inv_ref,
                                 cb=cb, nl1=nl1, mode=mode, common=common,
                                 resident=resident, pack=pack,
-                                instanced=instanced, stride=stride),
+                                instanced=instanced, stride=stride,
+                                recull_rounds=recull_rounds),
         jnp.int32(0))
 
 
@@ -521,13 +522,24 @@ def trace_blocks_hier(gpu: GPUScene, cfg: RenderConfig, ray_blocks, mode,
     # (measured: 91 ms pack=1 vs 116 ms pack=4 at 1080p/100k); closest
     # keeps v7's PACK=2 (bounce traces: 1639 -> 1392 ms).
     pack = PACK if mode == "closest" else 1
-    # Cond-stride (r4): amortize the while-loop's stop-rule reduce over
-    # STRIDE exact-ordered pop->visit cycles (see inner_body).  The HBM
-    # double-buffer invariant holds per cycle (each cycle starts the next
-    # group's copy and flips slots), so stride applies there too.
-    stride = STRIDE
+    # Cond-stride + re-cull (r4) apply per RAY CLASS, where they were
+    # measured to win: incoherent closest (bounces: 420 -> 264 ms) and
+    # occlusion (bounce-NEE: 192 -> 175 ms).  COHERENT closest traces
+    # (common-origin primaries / common-dir) were already at their
+    # oracle visit count — there both knobs only ADD machinery
+    # (SCENESCALE 100k closest regressed 108 -> 144 ms before this
+    # gate), so they keep the plain r3 loop.
+    coherent_closest = mode == "closest" and common is not None
+    stride = 1 if coherent_closest else STRIDE
+    if coherent_closest:
+        recull_rounds = ()
+    elif mode == "closest":
+        recull_rounds = RECULL_ROUNDS_CLOSEST
+    else:
+        recull_rounds = RECULL_ROUNDS_OCCLUDED
     kw = dict(cb=cb, nl1=nl1, mode=mode, common=common, resident=resident,
-              pack=pack, instanced=instanced, stride=stride)
+              pack=pack, instanced=instanced, stride=stride,
+              recull_rounds=recull_rounds)
     # Coefficients stay in VMEM up to RESIDENT_CB blocks; bigger scenes
     # keep them in HBM and the inner loop double-buffers per-visit DMAs.
     coeff_spec = (pl.BlockSpec(memory_space=pltpu.VMEM) if resident
