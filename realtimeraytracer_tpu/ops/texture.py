@@ -216,22 +216,29 @@ def _sample_atlas_level(mip_atlas, sizes, tex_id, u, v, k):
     return top * (1.0 - fy) + bot * fy
 
 
-def sample_atlas_mip(mip_atlas, sizes, num_levels, tex_id, u, v, lod):
+def sample_atlas_mip(mip_atlas, sizes, num_levels, tex_id, u, v, lod,
+                     packed=None):
     """Trilinear (mip-interpolated bilinear) atlas sample.
 
     lod: per-ray float level-of-detail (0 = base).  Clamped to the chain;
-    two level fetches + lerp, matching GPU trilinear filtering."""
+    two level fetches + lerp, matching GPU trilinear filtering.  packed:
+    optional pack_mip_atlas_neighbors_np twin — ONE gather per level
+    instead of four, bit-identical."""
     lod = jnp.clip(lod, 0.0, float(num_levels - 1))
     k0 = jnp.floor(lod).astype(jnp.int32)
     k1 = jnp.minimum(k0 + 1, num_levels - 1)
     f = (lod - k0.astype(jnp.float32))[..., None]
-    c0 = _sample_atlas_level(mip_atlas, sizes, tex_id, u, v, k0)
-    c1 = _sample_atlas_level(mip_atlas, sizes, tex_id, u, v, k1)
+    if packed is not None:
+        c0 = _sample_atlas_level_packed(packed, sizes, tex_id, u, v, k0)
+        c1 = _sample_atlas_level_packed(packed, sizes, tex_id, u, v, k1)
+    else:
+        c0 = _sample_atlas_level(mip_atlas, sizes, tex_id, u, v, k0)
+        c1 = _sample_atlas_level(mip_atlas, sizes, tex_id, u, v, k1)
     return c0 * (1.0 - f) + c1 * f
 
 
 def sample_atlas_aniso(mip_atlas, sizes, num_levels, tex_id, u, v,
-                       lod_minor, duv_half, taps: int):
+                       lod_minor, duv_half, taps: int, packed=None):
     """Anisotropic mip sample: `taps` trilinear fetches spread along the
     footprint's MAJOR axis, each at the MINOR-axis LOD.
 
@@ -245,12 +252,107 @@ def sample_atlas_aniso(mip_atlas, sizes, num_levels, tex_id, u, v,
     """
     if taps <= 1:
         return sample_atlas_mip(mip_atlas, sizes, num_levels, tex_id, u, v,
-                                lod_minor)
+                                lod_minor, packed=packed)
     acc = None
     for i in range(taps):
         c = (2.0 * (i + 0.5) / taps) - 1.0
         ci = sample_atlas_mip(mip_atlas, sizes, num_levels, tex_id,
                               u + c * duv_half[..., 0],
-                              v + c * duv_half[..., 1], lod_minor)
+                              v + c * duv_half[..., 1], lod_minor,
+                              packed=packed)
         acc = ci if acc is None else acc + ci
     return acc * (1.0 / taps)
+
+
+# ---------------------------------------------------------------------------
+# Packed-neighborhood atlases: ONE gather per bilinear fetch
+# ---------------------------------------------------------------------------
+
+def pack_atlas_neighbors_np(atlas, sizes):
+    """(T, S, S, 4) atlas -> (T, S, S, 16) where each texel carries its
+    2x2 bilinear footprint [c00 | c01 | c10 | c11] with each texture's
+    TRUE-extent repeat wrap baked in.
+
+    TPU gathers cost ~10-40 ms per 2M rays regardless of row width
+    (PERF.md): sample_atlas pays FOUR corner gathers per fetch, and the
+    textured flagship frame pays fetches in resolve (x3 channels), the
+    alpha ladder (per re-trace round) and the mip path — packing turns
+    each into ONE wide gather, bit-identically (same corners, same lerp
+    order).  Runs once at scene compile (NumPy)."""
+    import numpy as np
+
+    t, s = atlas.shape[0], atlas.shape[1]
+    out = np.zeros((t, s, s, 16), np.float32)
+    for ti in range(t):
+        h, w = int(sizes[ti, 0]), int(sizes[ti, 1])
+        a = atlas[ti, :h, :w]
+        xr = (np.arange(w) + 1) % w
+        yd = (np.arange(h) + 1) % h
+        out[ti, :h, :w] = np.concatenate(
+            [a, a[:, xr], a[yd, :], a[yd][:, xr]], axis=-1)
+    return out
+
+
+def pack_mip_atlas_neighbors_np(mip_atlas, sizes, num_levels):
+    """Packed twin of the (T, 2S, S, 4) mip atlas: per LEVEL true-extent
+    wrap, same static per-level row offsets."""
+    import numpy as np
+
+    t, s2, s = mip_atlas.shape[0], mip_atlas.shape[1], mip_atlas.shape[2]
+    out = np.zeros((t, s2, s, 16), np.float32)
+    for ti in range(t):
+        for k in range(num_levels):
+            h = max(1, int(sizes[ti, 0]) >> k)
+            w = max(1, int(sizes[ti, 1]) >> k)
+            y_off = s2 - (s2 >> k)
+            a = mip_atlas[ti, y_off:y_off + h, :w]
+            xr = (np.arange(w) + 1) % w
+            yd = (np.arange(h) + 1) % h
+            out[ti, y_off:y_off + h, :w] = np.concatenate(
+                [a, a[:, xr], a[yd, :], a[yd][:, xr]], axis=-1)
+    return out
+
+
+def sample_atlas_packed(packed, sizes, tex_id, u, v):
+    """sample_atlas from a pack_atlas_neighbors_np table: ONE gather,
+    bit-identical lerp."""
+    tid = jnp.clip(tex_id, 0, packed.shape[0] - 1)
+    hw = sizes[tid].astype(jnp.float32)
+    h, w = hw[..., 0], hw[..., 1]
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    fx = (x - x0f)[..., None]
+    fy = (y - y0f)[..., None]
+    xi0 = _wrap(x0f.astype(jnp.int32), w.astype(jnp.int32))
+    yi0 = _wrap(y0f.astype(jnp.int32), h.astype(jnp.int32))
+    g = packed[tid, yi0, xi0]
+    c00, c01 = g[..., 0:4], g[..., 4:8]
+    c10, c11 = g[..., 8:12], g[..., 12:16]
+    top = c00 * (1.0 - fx) + c01 * fx
+    bot = c10 * (1.0 - fx) + c11 * fx
+    return top * (1.0 - fy) + bot * fy
+
+
+def _sample_atlas_level_packed(packed, sizes, tex_id, u, v, k):
+    """_sample_atlas_level from the packed mip twin: ONE gather."""
+    s = packed.shape[2]
+    tid = jnp.clip(tex_id, 0, max(packed.shape[0] - 1, 0))
+    hw = sizes[tid]
+    h = jnp.maximum(hw[..., 0] >> k, 1).astype(jnp.float32)
+    w = jnp.maximum(hw[..., 1] >> k, 1).astype(jnp.float32)
+    y_off = (2 * s) - ((2 * s) >> k)
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0f, y0f = jnp.floor(x), jnp.floor(y)
+    fx = (x - x0f)[..., None]
+    fy = (y - y0f)[..., None]
+    xi0 = _wrap(x0f.astype(jnp.int32), w.astype(jnp.int32))
+    yi0 = _wrap(y0f.astype(jnp.int32), h.astype(jnp.int32)) + y_off
+    g = packed[tid, yi0, xi0]
+    c00, c01 = g[..., 0:4], g[..., 4:8]
+    c10, c11 = g[..., 8:12], g[..., 12:16]
+    top = c00 * (1.0 - fx) + c01 * fx
+    bot = c10 * (1.0 - fx) + c11 * fx
+    return top * (1.0 - fy) + bot * fy

@@ -69,7 +69,14 @@ def hit_alpha(gpu: GPUScene, hit: HitRecord, origins, dirs,
     uv = (g[..., 9:11] * w0 + g[..., 11:13] * hu[..., None]
           + g[..., 13:15] * hv[..., None])
     tex = g[..., 15].astype(jnp.int32)
-    a = sample_atlas(gpu.tex_atlas, gpu.tex_size, tex, uv[..., 0], uv[..., 1])[..., 0]
+    if gpu.tex_atlas_packed is not None and gpu.tex_atlas_packed.shape[0] > 0:
+        from realtimeraytracer_tpu.ops.texture import sample_atlas_packed
+
+        a = sample_atlas_packed(gpu.tex_atlas_packed, gpu.tex_size, tex,
+                                uv[..., 0], uv[..., 1])[..., 0]
+    else:
+        a = sample_atlas(gpu.tex_atlas, gpu.tex_size, tex, uv[..., 0],
+                         uv[..., 1])[..., 0]
     return jnp.where(is_tri & (tex >= 0), a, 1.0)
 
 
@@ -95,74 +102,84 @@ def wrap_backend_with_alpha(backend: TraceBackend, gpu: GPUScene,
     face_row = _alpha_face_row(gpu)
 
     def closest(origins, dirs, t_min, t_max, common=None):
-        # while ladder with EARLY EXIT: a round only runs while SOME ray
-        # still has an alpha-rejected hit (rounds<cap keeps shapes and
-        # semantics of the old fixed fori ladder).  Scenes where most
-        # rays terminate opaque in round 0 pay ~1 trace, not alpha_rounds
-        # (the fixed ladder cost the flagship frame 6 traces per query
-        # regardless of need).
+        # PYTHON-UNROLLED ladder with a lax.cond early-skip per round.
+        # Two measured facts force this shape (r4): (a) Mosaic serializes
+        # Pallas kernels inside lax.while/fori loops (~10x per-trace cost
+        # — the 32.6 s flagship frame); (b) rays on alpha scenes usually
+        # terminate opaque within 1-2 rounds, so rounds whose predicate
+        # "any ray still holds an alpha-rejected hit" is false are
+        # skipped entirely by the cond.
         r = origins.shape[0]
-        t_lo0 = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (r,))
-        hit0 = backend.closest(origins, dirs, t_lo0, t_max, common=common)
-        a0 = hit_alpha(gpu, hit0, origins, dirs, face_row)
-        rej0 = hit0.hit & (a0 < threshold)
+        t_lo = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (r,))
+        hit = backend.closest(origins, dirs, t_lo, t_max, common=common)
+        a = hit_alpha(gpu, hit, origins, dirs, face_row)
+        rejected = hit.hit & (a < threshold)
+        for _ in range(cfg.alpha_rounds):
+            def round_fn(args):
+                hit, t_lo, rejected = args
+                t_lo = jnp.where(rejected, hit.t + eps, t_lo)
+                # Masked-lane discipline (PERF.md): only REJECTED lanes
+                # need the re-trace; everyone else gets an empty
+                # [BIG, -BIG) interval so their tiles retire instantly —
+                # without it every round re-traced all R rays at full
+                # cost for a handful of transparent lanes.
+                re = backend.closest(
+                    origins, dirs,
+                    jnp.where(rejected, t_lo, BIG_T),
+                    jnp.where(rejected,
+                              jnp.broadcast_to(t_max, (r,)).astype(
+                                  jnp.float32), -BIG_T),
+                    common=common)
+                hit = HitRecord(
+                    t=jnp.where(rejected, re.t, hit.t),
+                    prim_id=jnp.where(rejected, re.prim_id, hit.prim_id),
+                    u=jnp.where(rejected, re.u, hit.u),
+                    v=jnp.where(rejected, re.v, hit.v),
+                )
+                a = hit_alpha(gpu, hit, origins, dirs, face_row)
+                return hit, t_lo, hit.hit & (a < threshold)
 
-        def cond(state):
-            hit, t_lo, rejected, rounds = state
-            return jnp.any(rejected) & (rounds < cfg.alpha_rounds)
-
-        def round_fn(state):
-            hit, t_lo, rejected, rounds = state
-            t_lo = jnp.where(rejected, hit.t + eps, t_lo)
-            re = backend.closest(origins, dirs, t_lo, t_max, common=common)
-            hit = HitRecord(
-                t=jnp.where(rejected, re.t, hit.t),
-                prim_id=jnp.where(rejected, re.prim_id, hit.prim_id),
-                u=jnp.where(rejected, re.u, hit.u),
-                v=jnp.where(rejected, re.v, hit.v),
-            )
-            a = hit_alpha(gpu, hit, origins, dirs, face_row)
-            rejected = hit.hit & (a < threshold)
-            return hit, t_lo, rejected, rounds + 1
-
-        hit, _, _, _ = jax.lax.while_loop(
-            cond, round_fn, (hit0, t_lo0, rej0, jnp.int32(0)))
+            hit, t_lo, rejected = jax.lax.cond(
+                jnp.any(rejected), round_fn, lambda args: args,
+                (hit, t_lo, rejected))
         return hit
 
     def occluded(origins, dirs, t_min, t_max, common=None):
         # Any-hit with alpha: occluded iff some OPAQUE hit lies in range.
-        # Same early-exit ladder, stepping past transparent surfaces.
+        # Same unrolled cond-skipped ladder, stepping past transparents.
         r = origins.shape[0]
         t_max_v = jnp.broadcast_to(t_max, (r,)).astype(jnp.float32)
-        t_lo0 = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (r,))
-        hit0 = backend.closest(origins, dirs, t_lo0, t_max_v, common=common)
-        a0 = hit_alpha(gpu, hit0, origins, dirs, face_row)
-        in0 = hit0.hit & (hit0.t < t_max_v)
-        occ0 = in0 & (a0 >= threshold)
-        tr0 = in0 & (a0 < threshold) & ~occ0
+        t_lo = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (r,))
+        hit = backend.closest(origins, dirs, t_lo, t_max_v, common=common)
+        a = hit_alpha(gpu, hit, origins, dirs, face_row)
+        in_range = hit.hit & (hit.t < t_max_v)
+        occ = in_range & (a >= threshold)
+        transparent = in_range & (a < threshold) & ~occ
+        for _ in range(cfg.alpha_rounds + 1):
+            def round_fn(args):
+                hit, occ, t_lo, transparent = args
+                t_lo = jnp.where(transparent, hit.t + eps, t_lo)
+                # Same masked-lane discipline as the closest ladder.
+                re = backend.closest(
+                    origins, dirs,
+                    jnp.where(transparent, t_lo, BIG_T),
+                    jnp.where(transparent, t_max_v, -BIG_T),
+                    common=common)
+                hit = HitRecord(
+                    t=jnp.where(transparent, re.t, hit.t),
+                    prim_id=jnp.where(transparent, re.prim_id, hit.prim_id),
+                    u=jnp.where(transparent, re.u, hit.u),
+                    v=jnp.where(transparent, re.v, hit.v),
+                )
+                a = hit_alpha(gpu, hit, origins, dirs, face_row)
+                in_range = hit.hit & (hit.t < t_max_v)
+                occ = occ | (in_range & (a >= threshold))
+                transparent = in_range & (a < threshold) & ~occ
+                return hit, occ, t_lo, transparent
 
-        def cond(state):
-            hit, occ, t_lo, transparent, rounds = state
-            return jnp.any(transparent) & (rounds < cfg.alpha_rounds + 1)
-
-        def round_fn(state):
-            hit, occ, t_lo, transparent, rounds = state
-            t_lo = jnp.where(transparent, hit.t + eps, t_lo)
-            re = backend.closest(origins, dirs, t_lo, t_max_v, common=common)
-            hit = HitRecord(
-                t=jnp.where(transparent, re.t, hit.t),
-                prim_id=jnp.where(transparent, re.prim_id, hit.prim_id),
-                u=jnp.where(transparent, re.u, hit.u),
-                v=jnp.where(transparent, re.v, hit.v),
-            )
-            a = hit_alpha(gpu, hit, origins, dirs, face_row)
-            in_range = hit.hit & (hit.t < t_max_v)
-            occ = occ | (in_range & (a >= threshold))
-            transparent = in_range & (a < threshold) & ~occ
-            return hit, occ, t_lo, transparent, rounds + 1
-
-        _, occ, _, _, _ = jax.lax.while_loop(
-            cond, round_fn, (hit0, occ0, t_lo0, tr0, jnp.int32(0)))
+            hit, occ, t_lo, transparent = jax.lax.cond(
+                jnp.any(transparent), round_fn, lambda args: args,
+                (hit, occ, t_lo, transparent))
         return occ
 
     # occluded_multi is NOT forwarded: alpha-tested occlusion re-traces

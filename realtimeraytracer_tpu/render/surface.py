@@ -191,6 +191,8 @@ def resolve_surface(gpu: GPUScene, hit: HitRecord,
             from realtimeraytracer_tpu.ops.texture import (
                 sample_atlas_aniso, sample_atlas_mip)
 
+            mip_packed = gpu.tex_mip_atlas_packed
+
             # Footprint LOD: pixel footprint in world units at the hit
             # (t * lod_scale); the grazing-angle stretch 1/cos is the
             # footprint's MAJOR axis.  Isotropic mode (aniso_taps=1)
@@ -251,22 +253,35 @@ def resolve_surface(gpu: GPUScene, hit: HitRecord,
                     return sample_atlas_aniso(
                         gpu.tex_mip_atlas, gpu.tex_size, num_levels,
                         tex[..., channel], uv[..., 0], uv[..., 1], lod,
-                        duv_half, aniso_taps)
+                        duv_half, aniso_taps, packed=mip_packed)
                 return sample_atlas_mip(gpu.tex_mip_atlas, gpu.tex_size,
                                         num_levels, tex[..., channel],
-                                        uv[..., 0], uv[..., 1], lod)
+                                        uv[..., 0], uv[..., 1], lod,
+                                        packed=mip_packed)
 
             texel = fetch(0)
             spec_texel = fetch(1)[..., 0]
             metal_texel = fetch(2)[..., 0]
         else:
-            # Texture overrides only where a map index is >= 0.
-            texel = sample_atlas(gpu.tex_atlas, gpu.tex_size, tex[..., 0],
-                                 uv[..., 0], uv[..., 1])
-            spec_texel = sample_atlas(gpu.tex_atlas, gpu.tex_size,
-                                      tex[..., 1], uv[..., 0], uv[..., 1])[..., 0]
-            metal_texel = sample_atlas(gpu.tex_atlas, gpu.tex_size,
-                                       tex[..., 2], uv[..., 0], uv[..., 1])[..., 0]
+            # Texture overrides only where a map index is >= 0.  The
+            # packed-neighborhood atlas makes each fetch ONE gather
+            # (bit-identical to sample_atlas); legacy GPUScene pytrees
+            # without the packed twin take the 4-gather path.
+            if gpu.tex_atlas_packed is not None \
+                    and gpu.tex_atlas_packed.shape[0] > 0:
+                from realtimeraytracer_tpu.ops.texture import (
+                    sample_atlas_packed)
+
+                fetch1 = lambda ch: sample_atlas_packed(
+                    gpu.tex_atlas_packed, gpu.tex_size, tex[..., ch],
+                    uv[..., 0], uv[..., 1])
+            else:
+                fetch1 = lambda ch: sample_atlas(
+                    gpu.tex_atlas, gpu.tex_size, tex[..., ch],
+                    uv[..., 0], uv[..., 1])
+            texel = fetch1(0)
+            spec_texel = fetch1(1)[..., 0]
+            metal_texel = fetch1(2)[..., 0]
         color = jnp.where((tex[..., 0] >= 0)[..., None], texel[..., :3], color)
         spec = jnp.where(tex[..., 1] >= 0, spec_texel, spec)
         metal = jnp.where(tex[..., 2] >= 0, metal_texel, metal)

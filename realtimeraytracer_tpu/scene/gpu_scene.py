@@ -104,6 +104,11 @@ class GPUScene(NamedTuple):
     # parity) + per-face sqrt(uv_area/world_area) for LOD selection. ------
     tex_mip_atlas: jnp.ndarray | None = None   # (T, 2S, S, 4) f32
     face_uv_density: jnp.ndarray | None = None # (F,) f32
+    # packed-neighborhood twins (ops/texture.pack_*_neighbors_np): each
+    # texel carries its 2x2 bilinear footprint with true-extent wrap, so
+    # every atlas fetch is ONE gather instead of four (r4).
+    tex_atlas_packed: jnp.ndarray | None = None      # (T, S, S, 16) f32
+    tex_mip_atlas_packed: jnp.ndarray | None = None  # (T, 2S, S, 16) f32
 
     # --- shared-geometry instancing (one BLAS-analogue per unique mesh,
     # instanced N x with per-instance transforms + object rows — parity

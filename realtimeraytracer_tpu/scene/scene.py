@@ -266,11 +266,18 @@ class Scene:
 
         atlas, tex_size = _pack_textures(self.textures)
         if len(self.textures):
-            from realtimeraytracer_tpu.ops.texture import build_mip_atlas_np
+            from realtimeraytracer_tpu.ops.texture import (
+                build_mip_atlas_np, pack_atlas_neighbors_np,
+                pack_mip_atlas_neighbors_np)
 
-            mip_atlas, _ = build_mip_atlas_np(atlas, tex_size)
+            mip_atlas, n_levels = build_mip_atlas_np(atlas, tex_size)
+            atlas_packed = pack_atlas_neighbors_np(atlas, tex_size)
+            mip_packed = pack_mip_atlas_neighbors_np(mip_atlas, tex_size,
+                                                     n_levels)
         else:
             mip_atlas = np.zeros((0, 16, 8, 4), np.float32)
+            atlas_packed = np.zeros((0, 8, 8, 16), np.float32)
+            mip_packed = np.zeros((0, 16, 8, 16), np.float32)
 
         # LBVH over the world-space soup (BLAS+TLAS analogue, ops/bvh.py);
         # the native C++ builder (native/bvh_build.cpp) is tried first.
@@ -362,6 +369,8 @@ class Scene:
             ltc1=j(ltc1), ltc2=j(ltc2),
             tex_atlas=j(atlas), tex_size=j(tex_size),
             tex_mip_atlas=j(mip_atlas), face_uv_density=j(uv_density),
+            tex_atlas_packed=j(atlas_packed),
+            tex_mip_atlas_packed=j(mip_packed),
             **{k: j(v) for k, v in bvh_fields.items()},
         )
 
@@ -628,11 +637,18 @@ class Scene:
         ltc1, ltc2 = load_ltc_tables()
         atlas, tex_size = _pack_textures(self.textures)
         if len(self.textures):
-            from realtimeraytracer_tpu.ops.texture import build_mip_atlas_np
+            from realtimeraytracer_tpu.ops.texture import (
+                build_mip_atlas_np, pack_atlas_neighbors_np,
+                pack_mip_atlas_neighbors_np)
 
-            mip_atlas, _ = build_mip_atlas_np(atlas, tex_size)
+            mip_atlas, n_levels = build_mip_atlas_np(atlas, tex_size)
+            atlas_packed = pack_atlas_neighbors_np(atlas, tex_size)
+            mip_packed = pack_mip_atlas_neighbors_np(mip_atlas, tex_size,
+                                                     n_levels)
         else:
             mip_atlas = np.zeros((0, 16, 8, 4), np.float32)
+            atlas_packed = np.zeros((0, 8, 8, 16), np.float32)
+            mip_packed = np.zeros((0, 16, 8, 16), np.float32)
 
         z3 = np.zeros((1, 3), np.float32)
         z1 = np.zeros(1, np.int32)
@@ -662,6 +678,8 @@ class Scene:
             ltc1=j(ltc1), ltc2=j(ltc2),
             tex_atlas=j(atlas), tex_size=j(tex_size),
             tex_mip_atlas=j(mip_atlas), face_uv_density=j(uv_density),
+            tex_atlas_packed=j(atlas_packed),
+            tex_mip_atlas_packed=j(mip_packed),
             bvh_node_min=j(z3), bvh_node_max=j(z3), bvh_node_skip=j(z1),
             bvh_node_first=j(z1), bvh_node_count=j(z1),
             bvh_tri_v0=j(z3), bvh_tri_v1=j(z3), bvh_tri_v2=j(z3),
