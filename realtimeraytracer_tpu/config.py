@@ -86,6 +86,14 @@ class RenderConfig:
     alpha_test: bool | None = None
     alpha_rounds: int = 4
     alpha_threshold: float = 0.9
+    # Two-phase alpha occlusion (opaque-subset raw kernel + alpha-subset
+    # ladder; render/alpha.py).  Default OFF: bit-identical to the
+    # classic ladder and neutral as a standalone query (720 vs 738 ms on
+    # the flagship scene), but composing its 2x kernel instances inside
+    # the full jitted frame triggered a 5x XLA scheduling pathology
+    # (82 s vs 16.3 s, r4 probe 020) — revisit if the per-program kernel
+    # count stops mattering.
+    alpha_split: bool = False
 
     # Trace backend: "auto" (hybrid Mosaic kernels on TPU / wide XLA twin
     # elsewhere when a BVH exists, else brute), or explicitly "brute",

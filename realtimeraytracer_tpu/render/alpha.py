@@ -101,6 +101,36 @@ def wrap_backend_with_alpha(backend: TraceBackend, gpu: GPUScene,
     eps = 1e-4
     face_row = _alpha_face_row(gpu)
 
+    # Two-phase occlusion (r4): when the scene compile produced an
+    # opaque/alpha panel split and the production kernel is per-ray-
+    # culling (TPU hier/hybrid), occlusion runs phase 1 as the RAW
+    # occluded kernel on the OPAQUE subset — exact for every opaque
+    # blocker, no ladder — and only lanes it leaves unresolved trace the
+    # alpha-mapped subset through the re-trace ladder.  Exactness:
+    # occluded <=> (some opaque hit in range) OR (some alpha-mapped hit
+    # with sampled alpha >= threshold in range); the phases decide the
+    # two disjuncts independently.  Measured economics in PERF.md
+    # ("alpha-tested occlusion").
+    split = (cfg.alpha_split and gpu.pallas_panels_opq is not None
+             and not gpu.instanced and backend.perray_cull)
+    if split:
+        from realtimeraytracer_tpu.render.hier_backend import (
+            make_hier_backend)
+
+        gpu_opq = gpu._replace(
+            pallas_panels=gpu.pallas_panels_opq,
+            pallas_cl_min=gpu.pallas_cl_min_opq,
+            pallas_cl_max=gpu.pallas_cl_max_opq)
+        gpu_alp = gpu._replace(
+            pallas_panels=gpu.pallas_panels_alp,
+            pallas_cl_min=gpu.pallas_cl_min_alp,
+            pallas_cl_max=gpu.pallas_cl_max_alp,
+            sph_center=jnp.zeros((0, 3), jnp.float32),
+            sph_radius=jnp.zeros((0,), jnp.float32))
+        opq_backend = make_hier_backend(gpu_opq, cfg)   # spheres: opaque
+        alp_backend = make_hier_backend(gpu_alp, cfg)
+        alpha_row = face_row[gpu.alpha_tri_id]          # (A, 16)
+
     def closest(origins, dirs, t_min, t_max, common=None):
         # PYTHON-UNROLLED ladder with a lax.cond early-skip per round.
         # Two measured facts force this shape (r4): (a) Mosaic serializes
@@ -150,8 +180,23 @@ def wrap_backend_with_alpha(backend: TraceBackend, gpu: GPUScene,
         r = origins.shape[0]
         t_max_v = jnp.broadcast_to(t_max, (r,)).astype(jnp.float32)
         t_lo = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (r,))
-        hit = backend.closest(origins, dirs, t_lo, t_max_v, common=common)
-        a = hit_alpha(gpu, hit, origins, dirs, face_row)
+        if split:
+            occ_opq = opq_backend.occluded(origins, dirs, t_lo, t_max_v,
+                                           common=common)
+            # Only still-unresolved lanes walk the alpha subset.
+            live = ~occ_opq & (t_max_v > t_lo)
+            lo2 = jnp.where(live, t_lo, BIG_T)
+            hi2 = jnp.where(live, t_max_v, -BIG_T)
+            occ_a = _occluded_ladder(alp_backend, alpha_row, origins, dirs,
+                                     lo2, hi2, common)
+            return occ_opq | occ_a
+        return _occluded_ladder(backend, face_row, origins, dirs, t_lo,
+                                t_max_v, common)
+
+    def _occluded_ladder(bk, row, origins, dirs, t_lo, t_max_v, common):
+        r = origins.shape[0]
+        hit = bk.closest(origins, dirs, t_lo, t_max_v, common=common)
+        a = hit_alpha(gpu, hit, origins, dirs, row)
         in_range = hit.hit & (hit.t < t_max_v)
         occ = in_range & (a >= threshold)
         transparent = in_range & (a < threshold) & ~occ
@@ -160,7 +205,7 @@ def wrap_backend_with_alpha(backend: TraceBackend, gpu: GPUScene,
                 hit, occ, t_lo, transparent = args
                 t_lo = jnp.where(transparent, hit.t + eps, t_lo)
                 # Same masked-lane discipline as the closest ladder.
-                re = backend.closest(
+                re = bk.closest(
                     origins, dirs,
                     jnp.where(transparent, t_lo, BIG_T),
                     jnp.where(transparent, t_max_v, -BIG_T),
@@ -171,7 +216,7 @@ def wrap_backend_with_alpha(backend: TraceBackend, gpu: GPUScene,
                     u=jnp.where(transparent, re.u, hit.u),
                     v=jnp.where(transparent, re.v, hit.v),
                 )
-                a = hit_alpha(gpu, hit, origins, dirs, face_row)
+                a = hit_alpha(gpu, hit, origins, dirs, row)
                 in_range = hit.hit & (hit.t < t_max_v)
                 occ = occ | (in_range & (a >= threshold))
                 transparent = in_range & (a < threshold) & ~occ

@@ -109,6 +109,19 @@ class GPUScene(NamedTuple):
     # every atlas fetch is ONE gather instead of four (r4).
     tex_atlas_packed: jnp.ndarray | None = None      # (T, S, S, 16) f32
     tex_mip_atlas_packed: jnp.ndarray | None = None  # (T, 2S, S, 16) f32
+    # opaque/alpha split of the traversal panels (r4, alpha scenes only):
+    # occlusion phase 1 runs the RAW kernel on the opaque subset (exact
+    # for opaque geometry); only lanes it leaves unresolved enter the
+    # alpha re-trace ladder, against the alpha-mapped subset alone
+    # (render/alpha.py).  alpha_tri_id maps subset-local sorted-tri ids
+    # back to global sorted ids.
+    pallas_panels_opq: jnp.ndarray | None = None
+    pallas_cl_min_opq: jnp.ndarray | None = None
+    pallas_cl_max_opq: jnp.ndarray | None = None
+    pallas_panels_alp: jnp.ndarray | None = None
+    pallas_cl_min_alp: jnp.ndarray | None = None
+    pallas_cl_max_alp: jnp.ndarray | None = None
+    alpha_tri_id: jnp.ndarray | None = None          # (A,) i32
 
     # --- shared-geometry instancing (one BLAS-analogue per unique mesh,
     # instanced N x with per-instance transforms + object rows — parity

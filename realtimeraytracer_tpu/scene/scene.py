@@ -315,6 +315,23 @@ class Scene:
                 bvh.tri_v0, bvh.tri_v1, bvh.tri_v2)
             bvh_fields.update(pallas_panels=panels, pallas_cl_min=p_lo,
                               pallas_cl_max=p_hi)
+            # Opaque/alpha panel split for the two-phase alpha-occlusion
+            # path (render/alpha.py): built only when BOTH subsets are
+            # non-empty (otherwise the classic ladder stands).
+            amask = np.asarray(ot)[face_obj_arr, 3] >= 0
+            if bool(amask.any()) and bool((~amask).any()):
+                o_p, o_lo, o_hi = pack_clusters_np(
+                    bvh.tri_v0[~amask], bvh.tri_v1[~amask],
+                    bvh.tri_v2[~amask])
+                a_p, a_lo, a_hi = pack_clusters_np(
+                    bvh.tri_v0[amask], bvh.tri_v1[amask],
+                    bvh.tri_v2[amask])
+                bvh_fields.update(
+                    pallas_panels_opq=o_p, pallas_cl_min_opq=o_lo,
+                    pallas_cl_max_opq=o_hi,
+                    pallas_panels_alp=a_p, pallas_cl_min_alp=a_lo,
+                    pallas_cl_max_alp=a_hi,
+                    alpha_tri_id=np.nonzero(amask)[0].astype(np.int32))
             # Subtree sorted-triangle ranges per node for the in-graph
             # AABB refit (ops/refit.py).
             from realtimeraytracer_tpu.ops.refit import subtree_ranges
