@@ -93,9 +93,19 @@ def main() -> None:
     iters = 4 if small else 16
     t0 = time.perf_counter()
     outs = [trace(gpu, frame, samples[i % 16]) for i in range(iters)]
+    # Forced host read of a timed output: through the axon tunnel,
+    # pipelined timings whose outputs are never MATERIALIZED
+    # intermittently under-report ~1000x (PERF.md header) — a
+    # block_until_ready alone does not guard against it.  The checksum
+    # is tiny (one f32) so its transfer cost is noise vs 16 frames.
+    checksum = float(jnp.minimum(outs[-1][0], 1e6).sum())
     jax.block_until_ready(outs)
     mean_pipelined = (time.perf_counter() - t0) / iters
     rays_per_s = n_rays / mean_pipelined
+    if not (mean_pipelined * 1e3 > 1.0) and not small:
+        raise RuntimeError(
+            f"implausible sub-ms frame ({mean_pipelined * 1e3:.3f} ms) — "
+            "pipelined outputs were not materialized; refusing to report")
 
     # Per-call synced latency (median), for apples-to-apples cross-commit
     # latency comparisons; through the axon tunnel this includes ~22 ms of
@@ -119,6 +129,7 @@ def main() -> None:
             "synced_latency_ms": latency_ms,
             "compile_s": compile_s,
             "hit_fraction": hit_frac,
+            "checksum": checksum,
             "device": str(jax.devices()[0]),
         },
     }))

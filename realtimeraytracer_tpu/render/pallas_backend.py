@@ -495,11 +495,22 @@ def _tile_body(b, rays_ref, keys_ref, coeff_ref, outf_ref, outi_ref,
               & (t >= tmin_c))
         return t, ok
 
-    def cond(state):
-        keys, best_t, best_k, visits = state
+    def worst_of(best_t):
         limit_bits = jax.lax.bitcast_convert_type(
             jnp.minimum(best_t, tmax_c), I32)
-        worst = jnp.max(limit_bits)              # int-ordered: pads (<0) lose
+        return jnp.max(limit_bits)               # int-ordered: pads (<0) lose
+
+    def cond(state):
+        keys, best_t, best_k, worst, visits = state
+        # `worst` is CARRIED: refreshed in the body from the previous
+        # iteration's best_t (one iteration stale).  best_t only
+        # decreases, so the stale bound is >= the fresh one — the loop
+        # can only run extra tail iterations, and an extra ordered visit
+        # can never improve best (its entry exceeds every live limit):
+        # output is bit-identical.  Win: the stop-rule reduce (a (128,1)
+        # max + vector->scalar trip loop control could never overlap)
+        # now issues inside the body, overlapping visit FMAs (measured
+        # on v9: 53.0 -> 49.7 ms primaries, r5).
         go = (keys[0] != INVALID) & ((keys[0] & ~id_mask) <= worst)
         if _ABLATE == "novisit":
             go = go & (visits < 0)
@@ -508,7 +519,8 @@ def _tile_body(b, rays_ref, keys_ref, coeff_ref, outf_ref, outi_ref,
         return go
 
     def body(state):
-        keys, best_t, best_k, visits = state
+        keys, best_t, best_k, worst, visits = state
+        worst = worst_of(best_t)                 # stale-worst refresh
 
         # Cond-stride (r4): run `stride` exact-ordered {pop-ahead, visit}
         # cycles per while body — the cond's stop-rule reduce (a (128,1)
@@ -518,7 +530,7 @@ def _tile_body(b, rays_ref, keys_ref, coeff_ref, outf_ref, outi_ref,
         for _ in range(stride):
             keys, best_t, best_k, visits = _cycle(
                 keys, best_t, best_k, visits)
-        return (keys, best_t, best_k, visits)
+        return (keys, best_t, best_k, worst, visits)
 
     def _cycle(keys, best_t, best_k, visits):
         g = jax.lax.rem(visits, 2)
@@ -572,13 +584,16 @@ def _tile_body(b, rays_ref, keys_ref, coeff_ref, outf_ref, outi_ref,
     if not resident:
         for u in range(pack):
             dma(0, u, first[u]).start()
+    best0 = jnp.full((TILE, 1), BIG, F32)
     init = (
         tuple(first),
-        jnp.full((TILE, 1), BIG, F32),
+        best0,
         jnp.full((TILE, 1), -1, I32),
+        worst_of(best0),
         jnp.int32(0),
     )
-    keys_end, best_t, best_k, visits = jax.lax.while_loop(cond, body, init)
+    keys_end, best_t, best_k, _, visits = jax.lax.while_loop(
+        cond, body, init)
 
     # The last started pack (group visits%2) was never waited on: retire it.
     if not resident:

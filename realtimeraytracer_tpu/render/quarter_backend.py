@@ -150,17 +150,31 @@ def _tile_body(b, rays_ref, keys_ref, coeff_ref, outf_ref, outi_ref,
               & (t >= tmin_c))
         return t, ok
 
-    def cond(state):
-        keys, best_t, best_k, visits = state
+    def worst_of(best_t):
         limit_bits = jax.lax.bitcast_convert_type(
             jnp.minimum(best_t, tmax_c), I32)
-        worst = jnp.max(limit_bits)              # int-ordered; pads lose
+        return jnp.max(limit_bits)               # int-ordered; pads lose
+
+    def kmin_of(keys):
         kmin = keys[0][0]
         for q in range(1, NQ):
             kmin = jnp.minimum(kmin, keys[q][0])
+        return kmin
+
+    def cond(state):
+        keys, best_t, best_k, worst, visits = state
         # Quarter first-pops are the quarters' true minima and later pops
-        # are >= them, so kmin is the min over ALL remaining candidates —
-        # the exact ordered-visit stop rule.
+        # are >= them, so kmin is the min over ALL remaining candidates.
+        # `worst` is CARRIED: computed in the body from the previous
+        # iteration's best_t (see body) — one iteration stale.  best_t
+        # only decreases, so the stale bound is >= the fresh one: the
+        # loop can only run EXTRA tail iterations, and an extra visit can
+        # never improve best (entry > limit => no t passes), so output is
+        # bit-identical to the fresh-reduce rule.  The win: the cond is
+        # now pure scalar compares — the (128,1) reduce + vector->scalar
+        # trip that loop control could never overlap now issues inside
+        # the body, overlapping the visit FMAs.
+        kmin = kmin_of(keys)
         return (kmin != INVALID) & ((kmin & ~id_mask) <= worst)
 
     def one_visit(cids, best_t, best_k):
@@ -188,7 +202,12 @@ def _tile_body(b, rays_ref, keys_ref, coeff_ref, outf_ref, outi_ref,
         return best_t, best_k
 
     def body(state):
-        keys, best_t, best_k, visits = state
+        keys, best_t, best_k, worst, visits = state
+
+        # Stale-worst refresh: reduce the PREVIOUS iteration's best_t
+        # (available at body entry) so the vector->scalar trip overlaps
+        # this iteration's visit math instead of gating the cond.
+        worst = worst_of(best_t)
 
         # Pop-ahead: next keys' vector->scalar trips overlap this visit.
         nxt = pop_all()
@@ -204,15 +223,17 @@ def _tile_body(b, rays_ref, keys_ref, coeff_ref, outf_ref, outi_ref,
             cids = [jnp.minimum(keys[q][u] & id_mask, cb - 1)
                     for q in range(NQ)]
             best_t, best_k = one_visit(cids, best_t, best_k)
-        return (nxt, best_t, best_k, visits + 1)
+        return (nxt, best_t, best_k, worst, visits + 1)
 
+    best0 = jnp.full((TILE, 1), BIG, F32)
     init = (
         pop_all(),
-        jnp.full((TILE, 1), BIG, F32),
+        best0,
         jnp.full((TILE, 1), -1, I32),
+        worst_of(best0),
         jnp.int32(0),
     )
-    _, best_t, best_k, visits = jax.lax.while_loop(cond, body, init)
+    _, best_t, best_k, _, visits = jax.lax.while_loop(cond, body, init)
 
     outf_ref[b, 0, :] = best_t[:, 0]
     outf_ref[b, 1, :] = jnp.zeros((TILE,), F32)
