@@ -156,6 +156,12 @@ def apply_transforms(gpu: GPUScene, obj_mats: jnp.ndarray) -> GPUScene:
             panels, lo, hi = pack_clusters(out)
             out = out._replace(pallas_panels=panels, pallas_cl_min=lo,
                                pallas_cl_max=hi)
+        if gpu.q_panels is not None:
+            # The SAH-repacked v9 panels (ops/repack.py) are a host-side
+            # precompute over the OLD geometry; drop them so the quarter
+            # kernel falls back to the freshly repacked shared panels.
+            out = out._replace(q_panels=None, q_cl_min=None, q_cl_max=None,
+                               q_group_off=None)
         return out
     return gpu._replace(**updates)
 

@@ -38,6 +38,12 @@ class TraceBackend(NamedTuple):
     # ONE kernel pass (occluded_multi(origins, dirs_s, t_lo, t_hi_s) ->
     # list of S masks).  None when the backend has no fused path.
     occluded_multi: Callable | None = None
+    # Optional hint-chained occlusion (render/hier_backend.py r5):
+    # occluded_hinted(o, d, lo, hi, hints=..., common=...) ->
+    # (mask, hints_out); callers thread hints_out into the next
+    # CORRELATED occlusion query (e.g. the next stochastic sample of the
+    # same light).  Exact — hints only short-circuit traversal cost.
+    occluded_hinted: Callable | None = None
 
 
 def _merge_sphere_hits(tri_hit: intersect.HitRecord,
@@ -136,7 +142,8 @@ def make_hybrid_backend(gpu: GPUScene, cfg: RenderConfig) -> TraceBackend:
     return TraceBackend(closest=closest, occluded=occluded,
                         num_tris=v8.num_tris, num_spheres=v8.num_spheres,
                         perray_cull=True,
-                        occluded_multi=v8.occluded_multi)
+                        occluded_multi=v8.occluded_multi,
+                        occluded_hinted=v8.occluded_hinted)
 
 
 def make_backend(gpu: GPUScene, cfg: RenderConfig) -> TraceBackend:

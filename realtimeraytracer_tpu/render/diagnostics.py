@@ -106,4 +106,7 @@ def wrap_backend_with_debug(backend, gpu: GPUScene, cfg: RenderConfig):
             occ = occ | (sph.t < jnp.broadcast_to(t_max, sph.t.shape))
         return occ
 
-    return backend._replace(closest=closest, occluded=occluded)
+    # Drop the hint-chained fast path: callers would bypass these debug
+    # wrappers through it (and diagnostics runs are not perf runs).
+    return backend._replace(closest=closest, occluded=occluded,
+                            occluded_hinted=None)

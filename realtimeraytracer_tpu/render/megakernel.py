@@ -99,6 +99,7 @@ def shade_sample(
     backend: TraceBackend,
     sample_index: int = 0,
     lod_scale=None,
+    hint_state: dict | None = None,
 ) -> SampleRadiance:
     R = origins.shape[0]
     # common="origin": generate_rays primaries all share the pinhole camera
@@ -176,7 +177,7 @@ def shade_sample(
         return samp
 
     # --- per-light-triangle loop (raygen.rgen:164-285), scanned ----------
-    def light_tri_step(carry, lt, occ_override=None):
+    def light_tri_step(carry, lt, occ_override=None, hint_key=None):
         analytic_a, shadowed_a, unshadowed_a = carry
         (p0, p1, p2, lcolor, lintensity, ltwo, lvalid, lt_idx) = lt
 
@@ -257,7 +258,25 @@ def shade_sample(
                 span = dist - cfg.shadow_ray_margin
                 t_lo = jnp.where(actives, cfg.t_min, BIG_T)
                 t_hi = jnp.where(actives, span, -BIG_T)
-                occ = backend.occluded(sos, sdir, t_lo, t_hi)
+                # Shadow-hint chaining (hier_backend r5): a light's
+                # stochastic samples share per-tile dominant occluders
+                # (measured 93% top-2 coverage, lossless across samples),
+                # so each trace warm-starts from the previous one's hint
+                # blocks.  Chains across primary samples too (the dict
+                # threads through render_components' sample loop).
+                # Sorted-path rays are light-local permutations, which
+                # only per-light chaining would match — but hinted
+                # backends are per-ray-culling, which skip the sort.
+                use_hints = (hint_state is not None and hint_key is not None
+                             and backend.occluded_hinted is not None
+                             and not use_sort)
+                if use_hints:
+                    occ, new_h = backend.occluded_hinted(
+                        sos, sdir, t_lo, t_hi,
+                        hints=hint_state.get(hint_key))
+                    hint_state[hint_key] = new_h
+                else:
+                    occ = backend.occluded(sos, sdir, t_lo, t_hi)
             lit = jnp.where(occ, 0.0, 1.0)[:, None]
 
             ndotl = jnp.maximum(jnp.sum(ns * sdir, -1), 0.1)       # (R,)
@@ -351,7 +370,8 @@ def shade_sample(
         carry = (zeros, zeros, zeros)
         for i in range(lt_count):
             carry, _ = light_tri_step(carry, tuple(x[i] for x in lts),
-                                      occ_override=occ_overrides[i])
+                                      occ_override=occ_overrides[i],
+                                      hint_key=("lt", i))
         analytic, shadowed, unshadowed = carry
     else:
         if cfg.batch_occlusion:
@@ -373,12 +393,19 @@ def shade_sample(
     # Interval mask uses sun_active, not just surf.valid: lanes facing away
     # from the sun have their contribution zeroed below either way, so give
     # them empty segments and let the traversal retire them instantly.
-    sun_occ = backend.occluded(
+    sun_args = (
         shadow_origin, jnp.broadcast_to(gpu.sun_direction, (R, 3)),
         jnp.where(sun_active, cfg.t_min, BIG_T),
         jnp.where(sun_active, cfg.t_max, -BIG_T),
-        common="dir",   # every lane shares the sun direction
     )
+    if hint_state is not None and backend.occluded_hinted is not None:
+        # Chains across primary samples (the sun direction is fixed; only
+        # the sub-pixel shadow origins move between samples).
+        sun_occ, sun_h = backend.occluded_hinted(
+            *sun_args, hints=hint_state.get("sun"), common="dir")
+        hint_state["sun"] = sun_h
+    else:
+        sun_occ = backend.occluded(*sun_args, common="dir")
     sun_lit = jnp.where(sun_occ, 0.0, 1.0)[:, None]
     sun_ndotl = jnp.maximum(sun_ndotl_raw, 1e-4)
     # Parity quirk: the ref clamps NdotV from *below* at 5.0 (raygen.rgen:322),
@@ -454,12 +481,17 @@ def render_components(
         lod_scale = None
 
     acc = None
+    # Shadow-hint chain (see shade_sample): per-light + sun hint tensors
+    # thread through the unrolled sample loop, so every occlusion trace
+    # after the first warm-starts from its predecessor's occluders.
+    hint_state = {} if backend.occluded_hinted is not None else None
     for s in range(cfg.primary_rays):
         o, d = generate_rays(frame, w, h, sample_index=s, jitter=cfg.jitter)
         if perm is not None:
             o, d = o[perm], d[perm]
         out = shade_sample(gpu, cfg, o, d, pixel_seed, backend,
-                           sample_index=s, lod_scale=lod_scale)
+                           sample_index=s, lod_scale=lod_scale,
+                           hint_state=hint_state)
         acc = out if acc is None else SampleRadiance(*(a + b for a, b in zip(acc, out)))
     if inv_perm is not None:
         acc = SampleRadiance(*(x[inv_perm] for x in acc))

@@ -65,17 +65,36 @@ from realtimeraytracer_tpu.render.pallas_backend import (
     cull_quarter_keys,
     pack_clusters,
 )
+from realtimeraytracer_tpu.render.pallas_backend import _knob
 from realtimeraytracer_tpu.scene.gpu_scene import GPUScene
 
 F32 = jnp.float32
 I32 = jnp.int32
 TILE = 128
 NQ = CB // SUBK      # lane quarters per panel (4)
+# Debug-only ablations (RTRT_DEBUG=1 + QB_ABLATE): "qnovisit" (launch +
+# cull + init pop only), "qfixedN" (N unconditional composite visits,
+# static panel ids — the pure composite+intersect floor), "qfixeddynN"
+# (N visits with real pops + dynamic ids, no stop rule).
+_ABLATE = _knob("QB_ABLATE", "")
+# Repacked-panel id mapping: "smem" (in-kernel per-visit dynamic SMEM
+# scalar loads — measured FREE on v5e: 41.2 ms vs 40.7 with no id
+# machinery at all) or "post" (slot ids out of the kernel + one XLA
+# gather — measured +15 ms per 2M rays; debug comparison path only).
+_IDMAP = _knob("QB_IDMAP", "smem")
 
 
-def _tile_body(b, rays_ref, keys_ref, coeff_ref, outf_ref, outi_ref,
-               ent_ref, *, cbn, cb, id_mask, common, pack):
-    """Quarter-composited ordered-visit closest trace of ONE 128-ray tile."""
+def _tile_body(b, rays_ref, off_ref, keys_ref, coeff_ref, outf_ref,
+               outi_ref, ent_ref, *, cbn, cb, id_mask, common, pack):
+    """Quarter-composited ordered-visit closest trace of ONE 128-ray tile.
+
+    off_ref: (cb*NQ,) i32 SMEM pads-before-group table (ops/repack.py),
+    or None: emitted tri ids are sorted-space ids, slot - off[group].
+    The per-visit dynamic SMEM scalar loads measure FREE on v5e (they
+    issue alongside the pop's scalar extracts and never touch the VPU
+    pipeline); the post-kernel XLA gather alternative costs +15 ms per
+    2M rays (QB_IDMAP knob).
+    """
     rays = rays_ref[b]                           # (8, 128)
     tmin_c = rays[6, :][:, None]                 # (128, 1)
     tmax_c = rays[7, :][:, None]
@@ -177,7 +196,7 @@ def _tile_body(b, rays_ref, keys_ref, coeff_ref, outf_ref, outi_ref,
         kmin = kmin_of(keys)
         return (kmin != INVALID) & ((kmin & ~id_mask) <= worst)
 
-    def one_visit(cids, best_t, best_k):
+    def one_visit(cids, offs, best_t, best_k):
         t, ok = intersect_composite(composite(cids))
         limit = jnp.minimum(best_t, tmax_c)
         ok = ok & (t <= limit)
@@ -195,7 +214,13 @@ def _tile_body(b, rays_ref, keys_ref, coeff_ref, outf_ref, outi_ref,
             lq == 0, cids[0],
             jnp.where(lq == 1, cids[1],
                       jnp.where(lq == 2, cids[2], cids[3])))
-        tri = cid_sel * CB + lane
+        tri = cid_sel * CB + lane                # slot-space id
+        if offs is not None:
+            off_sel = jnp.where(
+                lq == 0, offs[0],
+                jnp.where(lq == 1, offs[1],
+                          jnp.where(lq == 2, offs[2], offs[3])))
+            tri = tri - off_sel                  # sorted-space id
         best_t = jnp.where(
             better, jax.lax.bitcast_convert_type(kbest & ~127, F32), best_t)
         best_k = jnp.where(better, tri, best_k)
@@ -222,7 +247,9 @@ def _tile_body(b, rays_ref, keys_ref, coeff_ref, outf_ref, outi_ref,
             # until the stop rule fires on the surviving streams.
             cids = [jnp.minimum(keys[q][u] & id_mask, cb - 1)
                     for q in range(NQ)]
-            best_t, best_k = one_visit(cids, best_t, best_k)
+            offs = ([off_ref[cids[q] * NQ + q] for q in range(NQ)]
+                    if off_ref is not None else None)
+            best_t, best_k = one_visit(cids, offs, best_t, best_k)
         return (nxt, best_t, best_k, worst, visits + 1)
 
     best0 = jnp.full((TILE, 1), BIG, F32)
@@ -233,7 +260,25 @@ def _tile_body(b, rays_ref, keys_ref, coeff_ref, outf_ref, outi_ref,
         worst_of(best0),
         jnp.int32(0),
     )
-    _, best_t, best_k, _, visits = jax.lax.while_loop(cond, body, init)
+    if _ABLATE == "qnovisit":
+        keys0, best_t, best_k, _, visits = init
+        best_t = best_t + keys0[0][0].astype(F32) * 0.0
+    elif _ABLATE.startswith("qfixeddyn"):
+        n = int(_ABLATE[len("qfixeddyn"):] or "5")
+        st = init
+
+        def fcond(st):
+            return st[4] < n
+        _, best_t, best_k, _, visits = jax.lax.while_loop(fcond, body, st)
+    elif _ABLATE.startswith("qfixed"):
+        n = int(_ABLATE[len("qfixed"):] or "5")
+        best_t, best_k = init[1], init[2]
+        for j in range(n):
+            cids = [(j * NQ + q) % cb for q in range(NQ)]
+            best_t, best_k = one_visit(cids, None, best_t, best_k)
+        visits = jnp.int32(n)
+    else:
+        _, best_t, best_k, _, visits = jax.lax.while_loop(cond, body, init)
 
     outf_ref[b, 0, :] = best_t[:, 0]
     outf_ref[b, 1, :] = jnp.zeros((TILE,), F32)
@@ -243,12 +288,12 @@ def _tile_body(b, rays_ref, keys_ref, coeff_ref, outf_ref, outi_ref,
     return jnp.int32(0)
 
 
-def _trace_kernel(rays_ref, keys_ref, coeff_ref, outf_ref, outi_ref,
-                  ent_ref, *, cbn, cb, id_mask, common, pack):
+def _trace_kernel(rays_ref, off_ref, keys_ref, coeff_ref, outf_ref,
+                  outi_ref, ent_ref, *, cbn, cb, id_mask, common, pack):
     jax.lax.fori_loop(
         0, BT,
-        lambda b, _: _tile_body(b, rays_ref, keys_ref, coeff_ref, outf_ref,
-                                outi_ref, ent_ref, cbn=cbn, cb=cb,
+        lambda b, _: _tile_body(b, rays_ref, off_ref, keys_ref, coeff_ref,
+                                outf_ref, outi_ref, ent_ref, cbn=cbn, cb=cb,
                                 id_mask=id_mask, common=common, pack=pack),
         jnp.int32(0))
 
@@ -262,11 +307,20 @@ def trace_blocks_quarter(gpu: GPUScene, cfg: RenderConfig, ray_blocks,
     subclusters visited | -].
     """
     ts = ray_blocks.shape[0]
-    if gpu.pallas_panels is not None and gpu.pallas_panels.shape[1] == CROWS:
-        coeff = gpu.pallas_panels
-        cl_min, cl_max = gpu.pallas_cl_min, gpu.pallas_cl_max
+    if gpu.q_panels is not None:
+        # SAH-repacked panels (ops/repack.py): tighter subcluster boxes;
+        # group_off maps slot ids back to sorted space after the kernel.
+        coeff = gpu.q_panels
+        cl_min, cl_max = gpu.q_cl_min, gpu.q_cl_max
+        group_off = gpu.q_group_off
     else:
-        coeff, cl_min, cl_max = pack_clusters(gpu)
+        if gpu.pallas_panels is not None \
+                and gpu.pallas_panels.shape[1] == CROWS:
+            coeff = gpu.pallas_panels
+            cl_min, cl_max = gpu.pallas_cl_min, gpu.pallas_cl_max
+        else:
+            coeff, cl_min, cl_max = pack_clusters(gpu)
+        group_off = None
     cb = coeff.shape[0]
     if cb > RESIDENT_CB:
         raise ValueError(
@@ -292,16 +346,26 @@ def trace_blocks_quarter(gpu: GPUScene, cfg: RenderConfig, ray_blocks,
     tsp = ts + pad
 
     kw = dict(cbn=cbn, cb=cb, id_mask=id_mask, common=common, pack=pack)
+    use_smem = group_off is not None and _IDMAP == "smem"
+    in_specs = [
+        pl.BlockSpec((BT, 8, TILE), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((BT, NQ * cbn, 8, TILE), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    inputs = [ray_blocks, keys, coeff]
+    if use_smem:
+        in_specs.insert(1, pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.insert(1, group_off)
+        kernel = functools.partial(_trace_kernel, **kw)
+    else:
+        def kernel(rays, keys, coeff, outf, outi, ent):
+            _trace_kernel(rays, None, keys, coeff, outf, outi, ent, **kw)
     outf, outi = pl.pallas_call(
-        functools.partial(_trace_kernel, **kw),
+        kernel,
         grid=(tsp // BT,),
-        in_specs=[
-            pl.BlockSpec((BT, 8, TILE), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((BT, NQ * cbn, 8, TILE), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((BT, 8, TILE), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -314,7 +378,15 @@ def trace_blocks_quarter(gpu: GPUScene, cfg: RenderConfig, ray_blocks,
         ],
         scratch_shapes=[pltpu.VMEM((NQ * cbn, 8, 128), I32)],
         interpret=jax.default_backend() != "tpu",
-    )(ray_blocks, keys, coeff)
+    )(*inputs)
+    if group_off is not None and not use_smem:
+        # Slot ids -> sorted ids: one narrow gather into the tiny
+        # pads-before-group table (sorted = slot - off[slot // 32]).
+        ids = outi[:ts, 0, :]
+        g = jnp.clip(ids >> 5, 0, group_off.shape[0] - 1)
+        mapped = jnp.where(ids >= 0, ids - group_off[g], ids)
+        return outf[:ts], jnp.concatenate(
+            [mapped[:, None, :], outi[:ts, 1:, :]], axis=1)
     return outf[:ts], outi[:ts]
 
 

@@ -115,6 +115,16 @@ class GPUScene(NamedTuple):
     # alpha re-trace ladder, against the alpha-mapped subset alone
     # (render/alpha.py).  alpha_tri_id maps subset-local sorted-tri ids
     # back to global sorted ids.
+    # SAH-repacked v9 panels (ops/repack.py, r5): the same sorted order
+    # with DP-chosen subcluster cut points and degenerate pad lanes —
+    # tighter 32-tri cull boxes for the quarter kernel (measured -19% on
+    # 1080p/100k primaries).  q_group_off maps repacked slot ids back to
+    # sorted ids in-kernel (sorted = slot - off[slot // 32]), so output
+    # ids stay in sorted space and v8/v7 panels stay pad-free.
+    q_panels: jnp.ndarray | None = None        # (Cq, PROWS, 128) f32
+    q_cl_min: jnp.ndarray | None = None        # (Cq*4, 3) f32
+    q_cl_max: jnp.ndarray | None = None        # (Cq*4, 3) f32
+    q_group_off: jnp.ndarray | None = None     # (Cq*4,) i32
     pallas_panels_opq: jnp.ndarray | None = None
     pallas_cl_min_opq: jnp.ndarray | None = None
     pallas_cl_max_opq: jnp.ndarray | None = None

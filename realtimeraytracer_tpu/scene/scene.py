@@ -315,6 +315,19 @@ class Scene:
                 bvh.tri_v0, bvh.tri_v1, bvh.tri_v2)
             bvh_fields.update(pallas_panels=panels, pallas_cl_min=p_lo,
                               pallas_cl_max=p_hi)
+            # SAH-repacked v9 twin (ops/repack.py): only for VMEM-resident
+            # scenes — larger ones never route to the quarter kernel.
+            from realtimeraytracer_tpu.render.pallas_backend import (
+                RESIDENT_CB)
+
+            if panels.shape[0] <= RESIDENT_CB:
+                from realtimeraytracer_tpu.ops.repack import build_q_panels_np
+
+                qp, q_lo, q_hi, q_off = build_q_panels_np(
+                    bvh.tri_v0, bvh.tri_v1, bvh.tri_v2)
+                if qp.shape[0] <= RESIDENT_CB:
+                    bvh_fields.update(q_panels=qp, q_cl_min=q_lo,
+                                      q_cl_max=q_hi, q_group_off=q_off)
             # Opaque/alpha panel split for the two-phase alpha-occlusion
             # path (render/alpha.py): built only when BOTH subsets are
             # non-empty (otherwise the classic ladder stands).

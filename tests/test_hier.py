@@ -199,3 +199,82 @@ class TestBatchedOcclusion:
                                       np.asarray(b.unshadowed))
         np.testing.assert_array_equal(np.asarray(a.analytic),
                                       np.asarray(b.analytic))
+
+
+class TestHintedOcclusion:
+    """Cross-sample shadow-hint warm start (r5): exactness + chaining."""
+
+    def test_hinted_equals_unhinted(self):
+        from realtimeraytracer_tpu.render.hier_backend import (
+            hier_occluded, hier_occluded_hinted)
+
+        gpu = _gpu(900, seed=11)
+        o, d = _rays(384, seed=12)
+        tmax = jnp.full((384,), 4.0)
+        want = hier_occluded(gpu, CFG, o, d, 1e-3, tmax)
+
+        # cold (no hints), then chained, then adversarial garbage hints —
+        # all must produce the identical mask.
+        got0, h0 = hier_occluded_hinted(gpu, CFG, o, d, 1e-3, tmax)
+        np.testing.assert_array_equal(np.asarray(got0), np.asarray(want))
+        got1, h1 = hier_occluded_hinted(gpu, CFG, o, d, 1e-3, tmax,
+                                        hints=h0)
+        np.testing.assert_array_equal(np.asarray(got1), np.asarray(want))
+        ts = h0.shape[0]
+        bad = jnp.stack([jnp.full((ts,), 10_000, jnp.int32),
+                         jnp.full((ts,), -1, jnp.int32)], axis=1)
+        got2, _ = hier_occluded_hinted(gpu, CFG, o, d, 1e-3, tmax,
+                                       hints=bad)
+        np.testing.assert_array_equal(np.asarray(got2), np.asarray(want))
+
+    def test_hints_identify_real_occluders(self):
+        from realtimeraytracer_tpu.render.hier_backend import (
+            hier_occluded_hinted)
+
+        gpu = _gpu(600, seed=13)
+        o, d = _rays(256, seed=14)
+        tmax = jnp.full((256,), 5.0)
+        occ, hints = hier_occluded_hinted(gpu, CFG, o, d, 1e-3, tmax)
+        hints = np.asarray(hints)
+        occ = np.asarray(occ).reshape(-1, 128)
+        cb = gpu.pallas_panels.shape[0]
+        for i in range(hints.shape[0]):
+            if occ[i].any():
+                assert 0 <= hints[i, 0] < cb
+                assert 0 <= hints[i, 1] < cb
+            else:
+                assert (hints[i] == -1).all()
+
+    def test_megakernel_hint_chain_matches(self):
+        """Full shade_sample with a hint-chaining backend must equal the
+        plain-occluded render bit for bit."""
+        import jax
+
+        from realtimeraytracer_tpu.ops.camera_rays import generate_rays
+        from realtimeraytracer_tpu.render.hier_backend import (
+            make_hier_backend)
+        from realtimeraytracer_tpu.render.megakernel import shade_sample
+        from realtimeraytracer_tpu.scene.lights import AreaLight
+
+        r = np.random.default_rng(21)
+        base = r.uniform(-3, 3, (800, 1, 3))
+        tris = (base + r.normal(0, 0.25, (800, 3, 3))).astype(np.float32)
+        s = Scene()
+        s.add(TriangleMesh(vertices=tris.reshape(-1, 3),
+                           faces=np.arange(2400,
+                                           dtype=np.int32).reshape(800, 3)))
+        light = AreaLight(intensity=40.0)
+        light.rotate("x", 90.0).scale(2.0).move(0.0, 5.0, 0.0)
+        s.add(light)
+        gpu = s.compile(bvh_threshold=0)
+        cfg = RenderConfig(width=64, height=32, shadow_rays=2)
+        frame = s.camera.viewport_frame(cfg.width, cfg.height)
+        o, d = generate_rays(frame, cfg.width, cfg.height, jitter=False)
+        seeds = jnp.arange(o.shape[0], dtype=jnp.uint32)
+        backend = make_hier_backend(gpu, cfg)
+        assert backend.occluded_hinted is not None
+        out_h = shade_sample(gpu, cfg, o, d, seeds, backend, hint_state={})
+        out_p = shade_sample(gpu, cfg, o, d, seeds,
+                             backend._replace(occluded_hinted=None))
+        for a, b in zip(out_h, out_p):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
