@@ -85,10 +85,16 @@ def generate_ray_blocks(
     by = -(-height // block_h)
     ts = bx * by
 
-    tid = jax.lax.broadcasted_iota(jnp.int32, (ts, lanes), 0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (ts, lanes), 1)
-    px = (tid % bx) * block_w + lane % block_w
-    py = (tid // bx) * block_h + lane // block_w
+    # px/py via multi-axis iotas over (by, bx, block_h, block_w), NOT
+    # tid%/tid// — integer div/mod on 2M-lane tensors costs ~3 ms on the
+    # v5e VPU (measured r5; it alone was ~7% of the headline frame) while
+    # the 4-D iota form is pure adds.  The reshape to (ts, lanes) is a
+    # contiguous row-major collapse (free).
+    g4 = (by, bx, block_h, block_w)
+    px = (jax.lax.broadcasted_iota(jnp.int32, g4, 1) * block_w
+          + jax.lax.broadcasted_iota(jnp.int32, g4, 3)).reshape(ts, lanes)
+    py = (jax.lax.broadcasted_iota(jnp.int32, g4, 0) * block_h
+          + jax.lax.broadcasted_iota(jnp.int32, g4, 2)).reshape(ts, lanes)
     valid = (px < width) & (py < height)
 
     s = jnp.uint32(sample_index)
