@@ -107,11 +107,13 @@ def build_q_panels_np(v0s: np.ndarray, v1s: np.ndarray, v2s: np.ndarray,
     """Repacked v9 coefficient panels + cull AABBs + id-offset table.
 
     v0s/v1s/v2s: (T, 3) sorted triangle vertices.  Returns (coeff,
-    cl_min, cl_max, group_off): the pack_clusters_np layout over the
-    repacked order, plus group_off (CBn*4,) int32 = number of pad slots
-    before each 32-lane group, so sorted_id = slot_id - group_off[slot
-    // 32].  Pad groups past the last real group carry the total pad
-    count (they can never win a visit).
+    cl_min, cl_max, group_off, slots): the pack_clusters_np layout over
+    the repacked order, plus group_off (CBn*4,) int32 = number of pad
+    slots before each 32-lane group, so sorted_id = slot_id -
+    group_off[slot // 32].  Pad groups past the last real group carry the
+    total pad count (they can never win a visit).  slots (ng*32,) int64
+    maps repacked slot -> sorted id (-1 for pad lanes) — consumers align
+    per-triangle side tables (e.g. ops/alpha_mask.py) to the panels.
     """
     from realtimeraytracer_tpu.render.pallas_backend import (
         CB,
@@ -152,4 +154,4 @@ def build_q_panels_np(v0s: np.ndarray, v1s: np.ndarray, v2s: np.ndarray,
             group_off,
             np.full(total_groups - ng, int(pads_in_group.sum()), np.int64),
         ])
-    return coeff, cl_min, cl_max, group_off.astype(np.int32)
+    return coeff, cl_min, cl_max, group_off.astype(np.int32), slots

@@ -52,7 +52,13 @@ def hit_alpha(gpu: GPUScene, hit: HitRecord, origins, dirs,
 
     Barycentrics are recomputed from the winning triangle (the pallas
     backend defers u/v out of its visit loop); hit.u/hit.v are only the
-    fallback for degenerate re-tests."""
+    fallback for degenerate re-tests.
+
+    Instanced scenes (r5): vertices/uvs are MESH-SPACE pools and the
+    per-face object is the INSTANCE's (face_obj is zeros) — the ray is
+    transformed into mesh space with inst_inv[hit.inst] (t-invariant:
+    directions not renormalized, same as the traversal kernel) and the
+    opacity texture comes from obj_tex[inst_obj[hit.inst], 3]."""
     from realtimeraytracer_tpu.ops.intersect import ray_triangle
 
     num_tris = gpu.faces.shape[0]
@@ -62,6 +68,14 @@ def hit_alpha(gpu: GPUScene, hit: HitRecord, origins, dirs,
         face_row = _alpha_face_row(gpu)
     g = face_row[tid]                       # (R, 16) — the one big gather
     v0, v1, v2 = g[..., 0:3], g[..., 3:6], g[..., 6:9]
+    if gpu.instanced and hit.inst is not None:
+        iid = jnp.clip(hit.inst, 0, gpu.inst_inv.shape[0] - 1)
+        inv = gpu.inst_inv[iid]                         # (R, 12) [R|t]
+        rot = inv[..., :9].reshape(inv.shape[:-1] + (3, 3))
+        origins = (jnp.einsum("...ij,...j->...i", rot, origins)
+                   + inv[..., 9:12])
+        dirs = jnp.einsum("...ij,...j->...i", rot, dirs)
+        is_tri = is_tri & (hit.inst >= 0)
     _, rt_u, rt_v, rt_ok = ray_triangle(origins, dirs, v0, v1, v2)
     hu = jnp.where(rt_ok, rt_u, hit.u)
     hv = jnp.where(rt_ok, rt_v, hit.v)
@@ -69,6 +83,8 @@ def hit_alpha(gpu: GPUScene, hit: HitRecord, origins, dirs,
     uv = (g[..., 9:11] * w0 + g[..., 11:13] * hu[..., None]
           + g[..., 13:15] * hv[..., None])
     tex = g[..., 15].astype(jnp.int32)
+    if gpu.instanced and hit.inst is not None:
+        tex = gpu.obj_tex[gpu.inst_obj[iid], 3].astype(jnp.int32)
     if gpu.tex_atlas_packed is not None and gpu.tex_atlas_packed.shape[0] > 0:
         from realtimeraytracer_tpu.ops.texture import sample_atlas_packed
 
@@ -98,8 +114,21 @@ def wrap_backend_with_alpha(backend: TraceBackend, gpu: GPUScene,
     except Exception:
         pass
     threshold = cfg.alpha_threshold
-    eps = 1e-4
     face_row = _alpha_face_row(gpu)
+
+    def step_past(t):
+        """t_min that provably clears the rejected hit.
+
+        The Mosaic kernels return t rounded DOWN by up to t * 2^-16 (the
+        (t | lane) packed reduction clears the low 7 mantissa bits), so
+        an absolute epsilon alone lets the re-trace RE-FIND the same
+        transparent triangle once t exceeds ~6 — the lane then stays
+        rejected through every round and the ladder exhausts without
+        progressing (r5 bug: 17% of foliage_field rays came back
+        transparent-exhausted, and every cond-skippable round stayed
+        live).  Step by max(1e-4, t * 2^-15) — twice the quantization
+        bound — so each round provably advances one surface."""
+        return t + jnp.maximum(jnp.float32(1e-4), t * jnp.float32(3.1e-5))
 
     # Two-phase occlusion (r4): when the scene compile produced an
     # opaque/alpha panel split and the production kernel is per-ray-
@@ -147,7 +176,7 @@ def wrap_backend_with_alpha(backend: TraceBackend, gpu: GPUScene,
         for _ in range(cfg.alpha_rounds):
             def round_fn(args):
                 hit, t_lo, rejected = args
-                t_lo = jnp.where(rejected, hit.t + eps, t_lo)
+                t_lo = jnp.where(rejected, step_past(hit.t), t_lo)
                 # Masked-lane discipline (PERF.md): only REJECTED lanes
                 # need the re-trace; everyone else gets an empty
                 # [BIG, -BIG) interval so their tiles retire instantly —
@@ -165,6 +194,8 @@ def wrap_backend_with_alpha(backend: TraceBackend, gpu: GPUScene,
                     prim_id=jnp.where(rejected, re.prim_id, hit.prim_id),
                     u=jnp.where(rejected, re.u, hit.u),
                     v=jnp.where(rejected, re.v, hit.v),
+                    inst=(jnp.where(rejected, re.inst, hit.inst)
+                          if hit.inst is not None else None),
                 )
                 a = hit_alpha(gpu, hit, origins, dirs, face_row)
                 return hit, t_lo, hit.hit & (a < threshold)
@@ -203,7 +234,7 @@ def wrap_backend_with_alpha(backend: TraceBackend, gpu: GPUScene,
         for _ in range(cfg.alpha_rounds + 1):
             def round_fn(args):
                 hit, occ, t_lo, transparent = args
-                t_lo = jnp.where(transparent, hit.t + eps, t_lo)
+                t_lo = jnp.where(transparent, step_past(hit.t), t_lo)
                 # Same masked-lane discipline as the closest ladder.
                 re = bk.closest(
                     origins, dirs,
@@ -215,6 +246,8 @@ def wrap_backend_with_alpha(backend: TraceBackend, gpu: GPUScene,
                     prim_id=jnp.where(transparent, re.prim_id, hit.prim_id),
                     u=jnp.where(transparent, re.u, hit.u),
                     v=jnp.where(transparent, re.v, hit.v),
+                    inst=(jnp.where(transparent, re.inst, hit.inst)
+                          if hit.inst is not None else None),
                 )
                 a = hit_alpha(gpu, hit, origins, dirs, row)
                 in_range = hit.hit & (hit.t < t_max_v)

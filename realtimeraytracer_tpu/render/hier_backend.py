@@ -64,6 +64,7 @@ from realtimeraytracer_tpu.render.pallas_backend import (
     CROWS,
     PACK,
     RESIDENT_CB,
+    _knob,
     _pack_rays,
     pack_clusters,
 )
@@ -78,7 +79,12 @@ BIG = 3.0e38
 EPS = 1e-12
 INVALID = 0x7F800000  # +inf bits: "no candidate left"
 SMASK = 0x3FF         # low bits carrying ids inside packed entry keys
-SPAGES = 8            # L1 key rows in scratch: 8*128 supers/pairs max
+# L1 key rows in scratch: SPAGES*128 supers / (instance, super) pairs max.
+# 24 pages = 3072 pairs covers reference-scale instanced scenes (the r5
+# foliage_field flagship carries ~2.6k pairs); non-instanced scenes only
+# pay the pad pages an INVALID fill each (measured noise), and the
+# scratch is 12 KB of VMEM.
+SPAGES = int(_knob("HB_SPAGES", "24"))
 # Exact-ordered pop->visit cycles per while-loop body (resident path):
 # pays the cond's unoverlappable stop-rule reduce once per STRIDE visits
 # for <= STRIDE-1 tail-overshoot visits (~4% extra, r4 probe 080).
@@ -147,9 +153,9 @@ def pack_hierarchy(cl_min, cl_max):
 
 
 def _tile_body(b, rays_ref, sup_ref, blk_ref, coeff_ref, outf_ref, outi_ref,
-               sk_ref, cbuf, sems, tab_ref, inv_ref, hint_ref=None, *, cb,
-               nl1, mode, common, resident, pack, instanced, stride=1,
-               recull_rounds=(), count_order=False):
+               sk_ref, cbuf, sems, tab_ref, inv_ref, hint_ref=None,
+               am_ref=None, *, cb, nl1, mode, common, resident, pack,
+               instanced, stride=1, recull_rounds=(), count_order=False):
     """Full hierarchical trace of ONE 128-ray tile (index b in the step).
 
     nl1: number of valid L1 entries (superclusters, or (instance, super)
@@ -230,11 +236,12 @@ def _tile_body(b, rays_ref, sup_ref, blk_ref, coeff_ref, outf_ref, outi_ref,
             | (lane_row + base_id)
         return jnp.where(jnp.isfinite(emin), key, INVALID)
 
-    def intersect_block(c, oc, dc):
+    def intersect_block(c, oc, dc, cid=None):
         """Baldwin-Weber t of 128 rays x this block's 128 tris (v7 math).
 
         c: (12, 128) rows [n | -nA | r1 | -r1A | r2 | -r2A]; oc/dc: ray
-        columns ((128,1) or collapsed (1,1))."""
+        columns ((128,1) or collapsed (1,1)); cid: panel id for the
+        alpha-mask row lookup (None disables the mask)."""
         def dot_o(base):
             return (oc[0] * c[base + 0:base + 1]
                     + oc[1] * c[base + 1:base + 2]
@@ -253,6 +260,14 @@ def _tile_body(b, rays_ref, sup_ref, blk_ref, coeff_ref, outf_ref, outi_ref,
         v = dot_o(8) + t * dot_d(8)
         ok = (den_ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
               & (t >= tmin_c))
+        if am_ref is not None and cid is not None:
+            # In-kernel conservative alpha mask (ops/alpha_mask.py):
+            # rejects definitely-transparent hits exactly as the re-trace
+            # ladder's texture eval would — barycentrics are affine-
+            # invariant, so the mesh-space u/v of the instanced path
+            # index the same mask cells as world-space ones.
+            from realtimeraytracer_tpu.render.pallas_backend import _mask_ok
+            ok = _mask_ok(ok, u, v, am_ref[cid])
         return t, ok
 
     def worst_of(best_t):
@@ -261,7 +276,7 @@ def _tile_body(b, rays_ref, sup_ref, blk_ref, coeff_ref, outf_ref, outi_ref,
         return jnp.max(limit_bits)
 
     def visit(cid, c, oc, dc, inst, best_t, best_k, best_i):
-        t, ok = intersect_block(c, oc, dc)
+        t, ok = intersect_block(c, oc, dc, cid)
         if mode == "closest":
             limit = jnp.minimum(best_t, tmax_c)
             ok = ok & (t <= limit)
@@ -531,8 +546,10 @@ def _tile_body(b, rays_ref, sup_ref, blk_ref, coeff_ref, outf_ref, outi_ref,
 
 def _trace_kernel(rays_ref, sup_ref, blk_ref, coeff_ref, *rest, cb, nl1,
                   mode, common, resident, pack, instanced, stride=1,
-                  recull_rounds=(), count_order=False, hinted=False):
+                  recull_rounds=(), count_order=False, hinted=False,
+                  amasked=False):
     rest = list(rest)
+    am_ref = rest.pop(0) if amasked else None
     tab_ref = rest.pop(0) if instanced else None
     inv_ref = rest.pop(0) if instanced else None
     hint_ref = rest.pop(0) if hinted else None
@@ -543,7 +560,7 @@ def _trace_kernel(rays_ref, sup_ref, blk_ref, coeff_ref, *rest, cb, nl1,
         0, BT,
         lambda b, _: _tile_body(b, rays_ref, sup_ref, blk_ref, coeff_ref,
                                 outf_ref, outi_ref, sk_ref, cbuf, sems,
-                                tab_ref, inv_ref, hint_ref,
+                                tab_ref, inv_ref, hint_ref, am_ref,
                                 cb=cb, nl1=nl1, mode=mode, common=common,
                                 resident=resident, pack=pack,
                                 instanced=instanced, stride=stride,
@@ -554,7 +571,7 @@ def _trace_kernel(rays_ref, sup_ref, blk_ref, coeff_ref, *rest, cb, nl1,
 
 def trace_blocks_hier(gpu: GPUScene, cfg: RenderConfig, ray_blocks, mode,
                       common: str | None = None, count_order: bool = False,
-                      hints=None):
+                      hints=None, use_amask: bool = False):
     """Trace packed (Ts, 8, 128) ray blocks through the v8 hierarchy.
 
     Same contract as pallas_backend.trace_blocks: outf rows
@@ -629,10 +646,15 @@ def trace_blocks_hier(gpu: GPUScene, cfg: RenderConfig, ray_blocks, mode,
         recull_rounds = RECULL_ROUNDS_OCCLUDED
     hinted = (hints is not None and mode == "occluded" and resident
               and not instanced)
+    # In-kernel alpha masks: resident closest only (the mask panels ride
+    # VMEM next to the coefficients; HBM-path scenes keep the pure
+    # re-trace ladder, still exact).
+    amask = (gpu.pallas_amask
+             if use_amask and mode == "closest" and resident else None)
     kw = dict(cb=cb, nl1=nl1, mode=mode, common=common, resident=resident,
               pack=pack, instanced=instanced, stride=stride,
               recull_rounds=recull_rounds, count_order=count_order,
-              hinted=hinted)
+              hinted=hinted, amasked=amask is not None)
     # Coefficients stay in VMEM up to RESIDENT_CB blocks; bigger scenes
     # keep them in HBM and the inner loop double-buffers per-visit DMAs.
     coeff_spec = (pl.BlockSpec(memory_space=pltpu.VMEM) if resident
@@ -645,6 +667,9 @@ def trace_blocks_hier(gpu: GPUScene, cfg: RenderConfig, ray_blocks, mode,
         coeff_spec,
     ]
     inputs = [ray_blocks, sup_panel, blk_panels, coeff]
+    if amask is not None:
+        in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)]
+        inputs += [amask]
     if instanced:
         in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM),   # pair_tab
                      pl.BlockSpec(memory_space=pltpu.SMEM)]   # inst_inv
@@ -683,13 +708,14 @@ def trace_blocks_hier(gpu: GPUScene, cfg: RenderConfig, ray_blocks, mode,
 
 
 def _run(gpu, cfg, origins, dirs, t_min, t_max, mode, common=None,
-         count_order=False):
+         count_order=False, use_amask=False):
     r = origins.shape[0]
     t_min = jnp.broadcast_to(jnp.asarray(t_min, F32), (r,))
     t_max = jnp.broadcast_to(jnp.asarray(t_max, F32), (r,)).astype(F32)
     rays, r_orig, ts = _pack_rays(origins, dirs, t_min, t_max)
     outf, outi = trace_blocks_hier(gpu, cfg, rays, mode, common=common,
-                                   count_order=count_order)
+                                   count_order=count_order,
+                                   use_amask=use_amask)
     tb = outf[:, 0, :].reshape(-1)[:r_orig]
     kb = outi[:, 0, :].reshape(-1)[:r_orig]
     ib = outi[:, 2, :].reshape(-1)[:r_orig]
@@ -697,9 +723,9 @@ def _run(gpu, cfg, origins, dirs, t_min, t_max, mode, common=None,
 
 
 def hier_closest(gpu, cfg, origins, dirs, t_min, t_max,
-                 common=None) -> HitRecord:
+                 common=None, use_amask=False) -> HitRecord:
     tb, kb, ib = _run(gpu, cfg, origins, dirs, t_min, t_max, "closest",
-                      common=common)
+                      common=common, use_amask=use_amask)
     orig = jnp.where(kb >= 0, kb, -1)
     z = jnp.zeros_like(tb)
     inst = ib.astype(I32) if gpu.instanced else None
@@ -1005,10 +1031,16 @@ def make_hier_backend(gpu: GPUScene, cfg: RenderConfig) -> TraceBackend:
     num_tris = gpu.faces.shape[0]
     num_spheres = gpu.sph_center.shape[0]
     sg = jax.lax.stop_gradient
+    # Same in-kernel alpha-mask gate as make_pallas_backend (masks were
+    # built at the default threshold; any runtime threshold >= it stays
+    # conservative).
+    from realtimeraytracer_tpu.config import RenderConfig as _RC
+    use_amask = bool(cfg.alpha_test) and (
+        cfg.alpha_threshold >= _RC.alpha_threshold)
 
     def closest(origins, dirs, t_min, t_max, common=None):
         hit = hier_closest(sg(gpu), cfg, sg(origins), sg(dirs), sg(t_min),
-                           sg(t_max), common=common)
+                           sg(t_max), common=common, use_amask=use_amask)
         if num_spheres:
             sph = intersect.intersect_spheres(
                 origins, dirs, gpu.sph_center, gpu.sph_radius, t_min, t_max)

@@ -348,9 +348,28 @@ def cull_quarter_keys(rays, cl_min, cl_max, bundles: int = 1):
     return jnp.concatenate(pages, axis=1), id_mask
 
 
-def _trace_kernel(rays_ref, keys_ref, coeff_ref, outf_ref, outi_ref,
-                  ent_ref, cbuf, sems, *, cbn, cb, mode, id_mask, pack,
-                  common, resident, stride=1):
+def _mask_ok(ok, u, v, m):
+    """Conservative in-kernel alpha-mask filter (ops/alpha_mask.py).
+
+    m: (2, 128) i32 mask rows for this visit's 128 triangles — bit
+    b = iy*8 + ix of the 8x8 barycentric grid lives in word b>>5, bit
+    b&31; bit 0 means every texel bilinear could touch in that cell has
+    alpha < threshold, so the hit is definitely transparent and the
+    visit rejects it exactly as the re-trace ladder's texture eval
+    would (opacity.rahit:55-61 parity at visit granularity).  u/v of
+    not-ok lanes are garbage; the int clip bounds them and `ok` keeps
+    the result masked."""
+    gi = jnp.clip((u * float(8)).astype(I32), 0, 7)
+    gj = jnp.clip((v * float(8)).astype(I32), 0, 7)
+    b = gj * 8 + gi
+    w = jnp.where(b < 32, m[0:1], m[1:2])
+    bit = jax.lax.shift_right_logical(w, b & 31) & 1
+    return ok & (bit != 0)
+
+
+def _trace_kernel(rays_ref, keys_ref, coeff_ref, amask_ref, outf_ref,
+                  outi_ref, ent_ref, cbuf, sems, *, cbn, cb, mode, id_mask,
+                  pack, common, resident, stride=1):
     """One grid cell = BT 128-ray tiles; mode 'closest' or 'occluded'.
 
     BT tiles share one grid step (fori_loop below) because Mosaic
@@ -371,17 +390,17 @@ def _trace_kernel(rays_ref, keys_ref, coeff_ref, outf_ref, outi_ref,
 
     jax.lax.fori_loop(
         0, BT,
-        lambda b, _: _tile_body(b, rays_ref, keys_ref, coeff_ref, outf_ref,
-                                outi_ref, ent_ref, cbuf, sems,
+        lambda b, _: _tile_body(b, rays_ref, keys_ref, coeff_ref, amask_ref,
+                                outf_ref, outi_ref, ent_ref, cbuf, sems,
                                 cbn=cbn, cb=cb, mode=mode, id_mask=id_mask,
                                 pack=pack, common=common, resident=resident,
                                 stride=stride),
         jnp.int32(0))
 
 
-def _tile_body(b, rays_ref, keys_ref, coeff_ref, outf_ref, outi_ref,
-               ent_ref, cbuf, sems, *, cbn, cb, mode, id_mask, pack,
-               common, resident, stride=1):
+def _tile_body(b, rays_ref, keys_ref, coeff_ref, amask_ref, outf_ref,
+               outi_ref, ent_ref, cbuf, sems, *, cbn, cb, mode, id_mask,
+               pack, common, resident, stride=1):
     """Full ordered-visit trace of ONE 128-ray tile (index b in the step)."""
     rays = rays_ref[b]                           # (8, 128)
     tmin_c = rays[6, :][:, None]                 # (128, 1) column
@@ -468,7 +487,7 @@ def _tile_body(b, rays_ref, keys_ref, coeff_ref, outf_ref, outi_ref,
 
     lane_t = jax.lax.broadcasted_iota(I32, (TILE, CB), 1)
 
-    def intersect_block(c):
+    def intersect_block(c, m=None):
         """Baldwin-Weber t/u/v of 128 rays x this block's 128 triangles.
 
         c: (12, 128) rows [n | -nA | r1 | -r1A | r2 | -r2A].  With a
@@ -493,6 +512,8 @@ def _tile_body(b, rays_ref, keys_ref, coeff_ref, outf_ref, outi_ref,
         v = dot_o(8) + t * dot_d(8)
         ok = (den_ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
               & (t >= tmin_c))
+        if m is not None:
+            ok = _mask_ok(ok, u, v, m)
         return t, ok
 
     def worst_of(best_t):
@@ -547,7 +568,12 @@ def _tile_body(b, rays_ref, keys_ref, coeff_ref, outf_ref, outi_ref,
         for u in range(pack):
             cid = jnp.minimum(keys[u] & id_mask, cb - 1)
             c = cbuf[g, u] if not resident else coeff_ref[cid]
-            t, ok = intersect_block(c)
+            # In-kernel alpha masks ride the resident path only (the HBM
+            # pipeline would need a second DMA stream; such scenes fall
+            # back to the pure re-trace ladder, still exact).
+            mrow = (amask_ref[cid] if amask_ref is not None and resident
+                    else None)
+            t, ok = intersect_block(c, mrow)
 
             if mode == "closest":
                 limit = jnp.minimum(best_t, tmax_c)
@@ -612,7 +638,7 @@ def _tile_body(b, rays_ref, keys_ref, coeff_ref, outf_ref, outi_ref,
 
 
 def trace_blocks(gpu: GPUScene, cfg: RenderConfig, ray_blocks, mode,
-                 common: str | None = None):
+                 common: str | None = None, amask=None):
     """Trace packed (Ts, 8, 128) ray blocks.
 
     common: "origin" iff every ray in EVERY tile shares one origin
@@ -649,28 +675,42 @@ def trace_blocks(gpu: GPUScene, cfg: RenderConfig, ray_blocks, mode,
     stride = STRIDE if resident else 1
     kw = dict(cbn=cbn, cb=cb, mode=mode, id_mask=id_mask,
               pack=pack, common=common, resident=resident, stride=stride)
+    # In-kernel alpha masks: resident closest path only (see _tile_body).
+    use_amask = amask is not None and resident and mode == "closest"
     scratch = [pltpu.VMEM((cbn, 8, 128), I32)]
     if resident:
         coeff_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
-
-        def kernel(rays, keys, coeff, outf, outi, ent):
-            _trace_kernel(rays, keys, coeff, outf, outi, ent, None, None,
-                          **kw)
+        if use_amask:
+            def kernel(rays, keys, coeff, am, outf, outi, ent):
+                _trace_kernel(rays, keys, coeff, am, outf, outi, ent,
+                              None, None, **kw)
+        else:
+            def kernel(rays, keys, coeff, outf, outi, ent):
+                _trace_kernel(rays, keys, coeff, None, outf, outi, ent,
+                              None, None, **kw)
     else:
         coeff_spec = pl.BlockSpec(memory_space=pltpu.ANY)  # stays in HBM
         scratch += [pltpu.VMEM((2, pack, CROWS, CB), F32),
                     pltpu.SemaphoreType.DMA((2, pack))]
-        kernel = functools.partial(_trace_kernel, **kw)
-    outf, outi = pl.pallas_call(
-        kernel,
-        grid=(tsp // BT,),
-        in_specs=[
+
+        def kernel(rays, keys, coeff, outf, outi, ent, cbuf, sems):
+            _trace_kernel(rays, keys, coeff, None, outf, outi, ent,
+                          cbuf, sems, **kw)
+    in_specs = [
             pl.BlockSpec((BT, 8, TILE), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BT, cbn, 8, 128), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             coeff_spec,
-        ],
+    ]
+    inputs = [ray_blocks, keys, coeff]
+    if use_amask:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        inputs.append(amask)
+    outf, outi = pl.pallas_call(
+        kernel,
+        grid=(tsp // BT,),
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((BT, 8, TILE), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -683,17 +723,18 @@ def trace_blocks(gpu: GPUScene, cfg: RenderConfig, ray_blocks, mode,
         ],
         scratch_shapes=scratch,
         interpret=jax.default_backend() != "tpu",
-    )(ray_blocks, keys, coeff)
+    )(*inputs)
     return outf[:ts], outi[:ts]
 
 
 def _run(gpu: GPUScene, cfg: RenderConfig, origins, dirs, t_min, t_max, mode,
-         common=None):
+         common=None, amask=None):
     r = origins.shape[0]
     t_min = jnp.broadcast_to(jnp.asarray(t_min, F32), (r,))
     t_max = jnp.broadcast_to(jnp.asarray(t_max, F32), (r,)).astype(F32)
     rays, r_orig, ts = _pack_rays(origins, dirs, t_min, t_max)
-    outf, outi = trace_blocks(gpu, cfg, rays, mode, common=common)
+    outf, outi = trace_blocks(gpu, cfg, rays, mode, common=common,
+                              amask=amask)
     tb = outf[:, 0, :].reshape(-1)[:r_orig]
     kb = outi[:, 0, :].reshape(-1)[:r_orig]
     ub = outf[:, 1, :].reshape(-1)[:r_orig]
@@ -702,9 +743,9 @@ def _run(gpu: GPUScene, cfg: RenderConfig, origins, dirs, t_min, t_max, mode,
 
 
 def pallas_closest(gpu, cfg, origins, dirs, t_min, t_max,
-                   common=None) -> HitRecord:
+                   common=None, amask=None) -> HitRecord:
     tb, kb, ub, vb = _run(gpu, cfg, origins, dirs, t_min, t_max, "closest",
-                          common=common)
+                          common=common, amask=amask)
     # scene.compile permutes the face table into BVH order (bvh_tri_id is
     # the identity), so the sorted triangle id IS the face id — no gather.
     # (u, v) are zeros: the kernel defers barycentrics to the consumer,
@@ -725,10 +766,21 @@ def make_pallas_backend(gpu: GPUScene, cfg: RenderConfig) -> TraceBackend:
     num_tris = gpu.faces.shape[0]
     num_spheres = gpu.sph_center.shape[0]
     sg = jax.lax.stop_gradient
+    # In-kernel alpha masks engage exactly when the alpha re-trace ladder
+    # will wrap this backend (cfg.alpha_test + opacity maps present): the
+    # masked closest rejects definitely-transparent hits the ladder would
+    # reject anyway, collapsing most of its rounds.  Non-alpha usage (and
+    # oracle comparisons with alpha_test off) keeps the raw kernel.
+    # Masks were built at RenderConfig.alpha_threshold: a bit-0 cell
+    # bounds max alpha < 0.9, which stays conservative for any runtime
+    # threshold >= that — lower thresholds disable the masks.
+    amask = (gpu.pallas_amask if cfg.alpha_test
+             and cfg.alpha_threshold >= RenderConfig.alpha_threshold
+             else None)
 
     def closest(origins, dirs, t_min, t_max, common=None):
         hit = pallas_closest(sg(gpu), cfg, sg(origins), sg(dirs), sg(t_min),
-                             sg(t_max), common=common)
+                             sg(t_max), common=common, amask=amask)
         if num_spheres:
             sph = intersect.intersect_spheres(
                 origins, dirs, gpu.sph_center, gpu.sph_radius, t_min, t_max)

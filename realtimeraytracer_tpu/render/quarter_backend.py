@@ -84,8 +84,9 @@ _ABLATE = _knob("QB_ABLATE", "")
 _IDMAP = _knob("QB_IDMAP", "smem")
 
 
-def _tile_body(b, rays_ref, off_ref, keys_ref, coeff_ref, outf_ref,
-               outi_ref, ent_ref, *, cbn, cb, id_mask, common, pack):
+def _tile_body(b, rays_ref, off_ref, keys_ref, coeff_ref, amask_ref,
+               outf_ref, outi_ref, ent_ref, *, cbn, cb, id_mask, common,
+               pack):
     """Quarter-composited ordered-visit closest trace of ONE 128-ray tile.
 
     off_ref: (cb*NQ,) i32 SMEM pads-before-group table (ops/repack.py),
@@ -147,7 +148,15 @@ def _tile_body(b, rays_ref, off_ref, keys_ref, coeff_ref, outf_ref,
             c = part if c is None else c + part
         return c
 
-    def intersect_composite(c):
+    def composite_amask(cids):
+        """Same quarter compositing for the (2, 128) alpha-mask rows."""
+        m = None
+        for q in range(NQ):
+            part = jnp.where(qmask[q], amask_ref[cids[q]], 0)
+            m = part if m is None else m + part
+        return m
+
+    def intersect_composite(c, m=None):
         """Baldwin-Weber t/ok of 128 rays x the composited 128 tris."""
         def dot_o(base):
             return (ocol[0] * c[base + 0:base + 1]
@@ -167,6 +176,9 @@ def _tile_body(b, rays_ref, off_ref, keys_ref, coeff_ref, outf_ref,
         v = dot_o(8) + t * dot_d(8)
         ok = (den_ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
               & (t >= tmin_c))
+        if m is not None:
+            from realtimeraytracer_tpu.render.pallas_backend import _mask_ok
+            ok = _mask_ok(ok, u, v, m)
         return t, ok
 
     def worst_of(best_t):
@@ -197,7 +209,8 @@ def _tile_body(b, rays_ref, off_ref, keys_ref, coeff_ref, outf_ref,
         return (kmin != INVALID) & ((kmin & ~id_mask) <= worst)
 
     def one_visit(cids, offs, best_t, best_k):
-        t, ok = intersect_composite(composite(cids))
+        m = composite_amask(cids) if amask_ref is not None else None
+        t, ok = intersect_composite(composite(cids), m)
         limit = jnp.minimum(best_t, tmax_c)
         ok = ok & (t <= limit)
         # (t | lane) packed reduction, exactly v7's trick (low 7 bits of
@@ -288,18 +301,21 @@ def _tile_body(b, rays_ref, off_ref, keys_ref, coeff_ref, outf_ref,
     return jnp.int32(0)
 
 
-def _trace_kernel(rays_ref, off_ref, keys_ref, coeff_ref, outf_ref,
-                  outi_ref, ent_ref, *, cbn, cb, id_mask, common, pack):
+def _trace_kernel(rays_ref, off_ref, keys_ref, coeff_ref, amask_ref,
+                  outf_ref, outi_ref, ent_ref, *, cbn, cb, id_mask, common,
+                  pack):
     jax.lax.fori_loop(
         0, BT,
         lambda b, _: _tile_body(b, rays_ref, off_ref, keys_ref, coeff_ref,
-                                outf_ref, outi_ref, ent_ref, cbn=cbn, cb=cb,
-                                id_mask=id_mask, common=common, pack=pack),
+                                amask_ref, outf_ref, outi_ref, ent_ref,
+                                cbn=cbn, cb=cb, id_mask=id_mask,
+                                common=common, pack=pack),
         jnp.int32(0))
 
 
 def trace_blocks_quarter(gpu: GPUScene, cfg: RenderConfig, ray_blocks,
-                         common: str | None = None, pack: int = 1):
+                         common: str | None = None, pack: int = 1,
+                         use_amask: bool = False):
     """Closest-hit trace of packed (Ts, 8, 128) ray blocks, v9 scheme.
 
     Same output contract as pallas_backend.trace_blocks closest mode:
@@ -313,13 +329,16 @@ def trace_blocks_quarter(gpu: GPUScene, cfg: RenderConfig, ray_blocks,
         coeff = gpu.q_panels
         cl_min, cl_max = gpu.q_cl_min, gpu.q_cl_max
         group_off = gpu.q_group_off
+        amask = gpu.q_amask if use_amask else None
     else:
         if gpu.pallas_panels is not None \
                 and gpu.pallas_panels.shape[1] == CROWS:
             coeff = gpu.pallas_panels
             cl_min, cl_max = gpu.pallas_cl_min, gpu.pallas_cl_max
+            amask = gpu.pallas_amask if use_amask else None
         else:
             coeff, cl_min, cl_max = pack_clusters(gpu)
+            amask = None
         group_off = None
     cb = coeff.shape[0]
     if cb > RESIDENT_CB:
@@ -355,13 +374,27 @@ def trace_blocks_quarter(gpu: GPUScene, cfg: RenderConfig, ray_blocks,
         pl.BlockSpec(memory_space=pltpu.VMEM),
     ]
     inputs = [ray_blocks, keys, coeff]
+    if amask is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        inputs.append(amask)
     if use_smem:
         in_specs.insert(1, pl.BlockSpec(memory_space=pltpu.SMEM))
         inputs.insert(1, group_off)
-        kernel = functools.partial(_trace_kernel, **kw)
+        if amask is not None:
+            kernel = functools.partial(_trace_kernel, **kw)
+        else:
+            def kernel(rays, off, keys, coeff, outf, outi, ent):
+                _trace_kernel(rays, off, keys, coeff, None, outf, outi,
+                              ent, **kw)
     else:
-        def kernel(rays, keys, coeff, outf, outi, ent):
-            _trace_kernel(rays, None, keys, coeff, outf, outi, ent, **kw)
+        if amask is not None:
+            def kernel(rays, keys, coeff, am, outf, outi, ent):
+                _trace_kernel(rays, None, keys, coeff, am, outf, outi,
+                              ent, **kw)
+        else:
+            def kernel(rays, keys, coeff, outf, outi, ent):
+                _trace_kernel(rays, None, keys, coeff, None, outf, outi,
+                              ent, **kw)
     outf, outi = pl.pallas_call(
         kernel,
         grid=(tsp // BT,),
@@ -391,7 +424,8 @@ def trace_blocks_quarter(gpu: GPUScene, cfg: RenderConfig, ray_blocks,
 
 
 def quarter_closest(gpu: GPUScene, cfg: RenderConfig, origins, dirs,
-                    t_min, t_max, common: str | None = None) -> HitRecord:
+                    t_min, t_max, common: str | None = None,
+                    use_amask: bool = False) -> HitRecord:
     """Closest hit via the v9 kernel — v7-bit-identical output contract.
 
     scene.compile permutes the face table into BVH order, so the sorted
@@ -402,7 +436,8 @@ def quarter_closest(gpu: GPUScene, cfg: RenderConfig, origins, dirs,
     t_min = jnp.broadcast_to(jnp.asarray(t_min, F32), (r,))
     t_max = jnp.broadcast_to(jnp.asarray(t_max, F32), (r,)).astype(F32)
     rays, r_orig, ts = _pack_rays(origins, dirs, t_min, t_max)
-    outf, outi = trace_blocks_quarter(gpu, cfg, rays, common=common)
+    outf, outi = trace_blocks_quarter(gpu, cfg, rays, common=common,
+                                      use_amask=use_amask)
     tb = outf[:, 0, :].reshape(-1)[:r_orig]
     kb = outi[:, 0, :].reshape(-1)[:r_orig]
     ub = outf[:, 1, :].reshape(-1)[:r_orig]
@@ -425,10 +460,13 @@ def make_quarter_backend(gpu: GPUScene, cfg: RenderConfig):
     num_tris = gpu.faces.shape[0]
     num_spheres = gpu.sph_center.shape[0]
     sg = jax.lax.stop_gradient
+    # Same in-kernel alpha-mask gate as make_pallas_backend.
+    use_amask = bool(cfg.alpha_test) and (
+        cfg.alpha_threshold >= RenderConfig.alpha_threshold)
 
     def closest(origins, dirs, t_min, t_max, common=None):
         hit = quarter_closest(sg(gpu), cfg, sg(origins), sg(dirs), sg(t_min),
-                              sg(t_max), common=common)
+                              sg(t_max), common=common, use_amask=use_amask)
         if num_spheres:
             sph = intersect.intersect_spheres(
                 origins, dirs, gpu.sph_center, gpu.sph_radius, t_min, t_max)

@@ -125,6 +125,13 @@ class GPUScene(NamedTuple):
     q_cl_min: jnp.ndarray | None = None        # (Cq*4, 3) f32
     q_cl_max: jnp.ndarray | None = None        # (Cq*4, 3) f32
     q_group_off: jnp.ndarray | None = None     # (Cq*4,) i32
+    # Conservative per-triangle barycentric alpha masks (ops/alpha_mask.py,
+    # r5), aligned with pallas_panels / q_panels slots; consulted by the
+    # traversal kernels' accept test when cfg.alpha_test is on, so
+    # definitely-transparent hits (foliage-card margins) never terminate a
+    # trace and the re-trace ladder only fires on boundary texels.
+    pallas_amask: jnp.ndarray | None = None    # (C, 2, 128) i32
+    q_amask: jnp.ndarray | None = None         # (Cq, 2, 128) i32
     pallas_panels_opq: jnp.ndarray | None = None
     pallas_cl_min_opq: jnp.ndarray | None = None
     pallas_cl_max_opq: jnp.ndarray | None = None

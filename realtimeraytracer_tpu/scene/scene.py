@@ -320,14 +320,36 @@ class Scene:
             from realtimeraytracer_tpu.render.pallas_backend import (
                 RESIDENT_CB)
 
+            q_slots = None
             if panels.shape[0] <= RESIDENT_CB:
                 from realtimeraytracer_tpu.ops.repack import build_q_panels_np
 
-                qp, q_lo, q_hi, q_off = build_q_panels_np(
+                qp, q_lo, q_hi, q_off, q_slots = build_q_panels_np(
                     bvh.tri_v0, bvh.tri_v1, bvh.tri_v2)
                 if qp.shape[0] <= RESIDENT_CB:
                     bvh_fields.update(q_panels=qp, q_cl_min=q_lo,
                                       q_cl_max=q_hi, q_group_off=q_off)
+                else:
+                    q_slots = None
+            # Conservative barycentric alpha masks (ops/alpha_mask.py):
+            # per-triangle 64-bit masks aligned to the traversal panels,
+            # letting the kernels reject definitely-transparent hits
+            # in-visit (opacity.rahit parity at visit granularity).
+            face_tex = np.asarray(ot)[face_obj_arr, 3]
+            if (face_tex >= 0).any():
+                from realtimeraytracer_tpu.config import RenderConfig
+                from realtimeraytracer_tpu.ops.alpha_mask import (
+                    build_face_masks_np, pack_amask_np)
+
+                fmasks = build_face_masks_np(
+                    uv_arr[faces_arr[:, 0]], uv_arr[faces_arr[:, 1]],
+                    uv_arr[faces_arr[:, 2]], face_tex, atlas[..., 0],
+                    tex_size, RenderConfig.alpha_threshold)
+                bvh_fields.update(pallas_amask=pack_amask_np(
+                    fmasks, panels.shape[0]))
+                if q_slots is not None:
+                    bvh_fields.update(q_amask=pack_amask_np(
+                        fmasks, qp.shape[0], q_slots))
             # Opaque/alpha panel split for the two-phase alpha-occlusion
             # path (render/alpha.py): built only when BOTH subsets are
             # non-empty (otherwise the classic ladder stands).
@@ -680,6 +702,38 @@ class Scene:
             atlas_packed = np.zeros((0, 8, 8, 16), np.float32)
             mip_packed = np.zeros((0, 16, 8, 16), np.float32)
 
+        # Conservative alpha masks over the mesh pools (ops/alpha_mask.py).
+        # A pool face's opacity texture is its INSTANCES' material's; when
+        # instances of one mesh disagree (distinct opacity maps), the mask
+        # must hold for all of them — conservatively all-ones (tex -2).
+        pool_amask = None
+        if len(self.textures) and any(
+                int(ot[obj_id, 3]) >= 0 for _, _, obj_id in inst_list):
+            from realtimeraytracer_tpu.config import RenderConfig
+            from realtimeraytracer_tpu.ops.alpha_mask import (
+                build_face_masks_np, pack_amask_np)
+
+            per_mesh = [set() for _ in mesh_entries]
+            for mi, _, obj_id in inst_list:
+                per_mesh[mi].add(int(ot[obj_id, 3]))
+            face_tex_parts = []
+            for m, c in enumerate(coeff_l):
+                texs = {t for t in per_mesh[m] if t >= 0}
+                if not per_mesh[m] or not texs:
+                    t_choice = -1                  # no opacity: all-ones
+                elif len(texs) == 1 and all(t >= 0 for t in per_mesh[m]):
+                    t_choice = texs.pop()
+                else:
+                    t_choice = -2                  # mixed: all-ones
+                face_tex_parts.append(
+                    np.full(c.shape[0] * CB, t_choice, np.int32))
+            face_tex_pool = np.concatenate(face_tex_parts)
+            fmasks = build_face_masks_np(
+                uv_arr[faces_arr[:, 0]], uv_arr[faces_arr[:, 1]],
+                uv_arr[faces_arr[:, 2]], face_tex_pool, atlas[..., 0],
+                tex_size, RenderConfig.alpha_threshold)
+            pool_amask = pack_amask_np(fmasks, coeff.shape[0])
+
         z3 = np.zeros((1, 3), np.float32)
         z1 = np.zeros(1, np.int32)
         log.debug(
@@ -716,6 +770,7 @@ class Scene:
             bvh_tri_id=j(z1),
             pallas_panels=j(coeff), pallas_cl_min=j(cl_min),
             pallas_cl_max=j(cl_max),
+            pallas_amask=(j(pool_amask) if pool_amask is not None else None),
             inst_inv=j(inst_inv), inst_fwd=j(inst_fwd), inst_obj=j(inst_obj),
             pair_panel=j(pair_panel), pair_tab=j(pair_tab),
             blk_panel=j(blk_panel), pair_mesh_aabb=j(pair_mesh_aabb),

@@ -186,6 +186,195 @@ def sky_sphere() -> Scene:
     return scene
 
 
+def foliage_field(target_tris: int = 120_000, seed: int = 9) -> Scene:
+    """Reference-shaped flagship: >=100k textured triangles with
+    alpha-tested instanced foliage over a textured terrain.
+
+    The reference's shipped workload is the Bistro exterior — a
+    multi-100k-tri OBJ with dozens of textures and dense alpha foliage
+    (src/app/application.cppm:226-250); its assets are external
+    (SURVEY.md appendix), so this composes the same asset classes
+    procedurally: a heightfield terrain with color+specular maps,
+    textured building prisms, and three instanced plant meshes
+    (trunk prisms + alpha-cutout crossed leaf cards) — every asset class
+    (textures, mips, aniso, alpha any-hit, instancing, HDRI, area
+    lights, sun) in ONE scene at reference scale.  `target_tris` counts
+    EFFECTIVE triangles (instances x mesh size); the unique-mesh pools
+    stay VMEM-resident, exactly the BLAS-sharing the reference's TLAS
+    instancing buys (tlas.cppm:60-67).
+    """
+    rng = np.random.default_rng(seed)
+    scene = Scene(camera=Camera(position=(0.0, 9.0, 26.0),
+                                look_at=(0.0, 1.5, 0.0),
+                                fov_y_degrees=55))
+
+    # --- textures --------------------------------------------------------
+    n = 64
+    yy, xx = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    checker = ((xx // 8 + yy // 8) % 2).astype(np.float32)
+    noise = rng.random((n, n)).astype(np.float32)
+    ground_kd = np.stack([0.18 + 0.25 * checker + 0.1 * noise,
+                          0.22 + 0.30 * checker + 0.1 * noise,
+                          0.12 + 0.10 * checker], axis=-1)
+    t_ground = scene.add_texture(np.clip(ground_kd, 0, 1))
+    t_gloss = scene.add_texture(
+        np.clip(0.1 + 0.8 * (xx / (n - 1.0)), 0, 1).astype(np.float32))
+    # Leaf cutout: one ragged central frond with WIDE fully-transparent
+    # margins — the shape real foliage atlases have (one leaf cluster per
+    # card, Bistro-style), and the shape that makes in-kernel alpha masks
+    # effective: margin cells are definitely-transparent, so traversal
+    # rejects those hits without any texture fetch or re-trace round.
+    dyy = (yy - 34.0) / 22.0
+    dxx = (xx - 32.0) / 16.0
+    body = dxx * dxx + dyy * dyy + 0.25 * rng.random((n, n))
+    stem = (np.abs(xx - 32) < 2.0) & (yy > 30)
+    leaf_a = ((body < 1.0) | stem).astype(np.float32)
+    t_leaf_a = scene.add_texture(leaf_a)
+    leaf_kd = np.stack([0.08 + 0.10 * checker,
+                        0.30 + 0.30 * (1 - checker) + 0.15 * noise,
+                        0.06 + 0.04 * checker], axis=-1)
+    t_leaf_kd = scene.add_texture(np.clip(leaf_kd, 0, 1))
+    bark = np.stack([0.30 + 0.12 * noise, 0.20 + 0.08 * noise,
+                     0.12 + 0.04 * noise], axis=-1)
+    t_bark = scene.add_texture(np.clip(bark, 0, 1))
+    brick = np.stack([0.45 + 0.3 * checker, 0.30 + 0.12 * checker,
+                      0.25 + 0.05 * checker], axis=-1)
+    t_brick = scene.add_texture(np.clip(brick, 0, 1))
+
+    m_ground = Material(color=(1, 1, 1), specular=0.4,
+                        color_map=t_ground, specular_map=t_gloss)
+    m_leaf = Material(color=(1, 1, 1), specular=0.15,
+                      color_map=t_leaf_kd, opacity_map=t_leaf_a)
+    m_bark = Material(color=(1, 1, 1), specular=0.25, color_map=t_bark)
+    m_brick = Material(color=(1, 1, 1), specular=0.5, color_map=t_brick)
+
+    # --- terrain heightfield (one mesh) ----------------------------------
+    S, NG = 30.0, 64
+    gx = np.linspace(-S, S, NG + 1, dtype=np.float32)
+    gz = np.linspace(-S, S, NG + 1, dtype=np.float32)
+    gzz, gxx = np.meshgrid(gz, gx, indexing="ij")
+    h = (0.35 * np.sin(gxx * 0.35) * np.cos(gzz * 0.3)
+         + 0.15 * np.sin(gxx * 1.1 + 2.0)).astype(np.float32)
+    tv = np.stack([gxx, h, gzz], axis=-1).reshape(-1, 3)
+    tuv = np.stack([(gxx + S) / (2 * S) * 16.0,
+                    (gzz + S) / (2 * S) * 16.0], axis=-1).reshape(-1, 2)
+    idx = np.arange((NG + 1) * (NG + 1)).reshape(NG + 1, NG + 1)
+    a, b = idx[:-1, :-1].ravel(), idx[:-1, 1:].ravel()
+    c, d = idx[1:, 1:].ravel(), idx[1:, :-1].ravel()
+    tf = np.concatenate([np.stack([a, b, c], axis=1),
+                         np.stack([a, c, d], axis=1)]).astype(np.int32)
+    terrain = TriangleMesh(vertices=tv, faces=tf,
+                           uvs=tuv.astype(np.float32), material=m_ground)
+    scene.add(terrain)
+    n_eff = len(tf)
+
+    # --- building prisms (one mesh) --------------------------------------
+    def prism_arrays(x0, z0, x1, z1, y0, h):
+        v = np.array([[x0, y0, z0], [x1, y0, z0], [x1, y0 + h, z0],
+                      [x0, y0 + h, z0], [x0, y0, z1], [x1, y0, z1],
+                      [x1, y0 + h, z1], [x0, y0 + h, z1]], np.float32)
+        f = np.array([[0, 2, 1], [0, 3, 2], [4, 5, 6], [4, 6, 7],
+                      [0, 4, 7], [0, 7, 3], [1, 2, 6], [1, 6, 5],
+                      [3, 7, 6], [3, 6, 2]], np.int32)
+        uv = np.array([[0, 0], [2, 0], [2, 2], [0, 2],
+                       [0, 0], [2, 0], [2, 2], [0, 2]], np.float32)
+        return v, f, uv
+
+    bv, bf, buv = [], [], []
+    base = 0
+    for _ in range(14):
+        x0 = float(rng.uniform(-S + 3, S - 6))
+        z0 = float(rng.uniform(-S + 3, -6.0))
+        w, dpt = float(rng.uniform(1.5, 4.0)), float(rng.uniform(1.5, 4.0))
+        v, f, uv = prism_arrays(x0, z0, x0 + w, z0 + dpt, -0.5,
+                                float(rng.uniform(2.5, 7.0)))
+        bv.append(v); bf.append(f + base); buv.append(uv)
+        base += len(v)
+    buildings = TriangleMesh(
+        vertices=np.concatenate(bv), faces=np.concatenate(bf),
+        uvs=np.concatenate(buv), material=m_brick)
+    scene.add(buildings)
+    n_eff += sum(len(f) for f in bf)
+
+    # --- plant meshes (instanced) ----------------------------------------
+    def card_stack(num_cards, w, h0, h1, rng):
+        """Crossed alpha cards around a vertical axis."""
+        v, f, uv = [], [], []
+        for k in range(num_cards):
+            ang = rng.uniform(0, np.pi)
+            y0 = rng.uniform(h0, h1 - 0.5)
+            hh = rng.uniform(0.6, 1.4)
+            dx, dz = np.cos(ang) * w, np.sin(ang) * w
+            ox, oz = rng.uniform(-0.5, 0.5), rng.uniform(-0.5, 0.5)
+            b = len(v)
+            v += [[ox - dx, y0, oz - dz], [ox + dx, y0, oz + dz],
+                  [ox + dx, y0 + hh, oz + dz], [ox - dx, y0 + hh, oz - dz]]
+            f += [[b, b + 1, b + 2], [b, b + 2, b + 3]]
+            uv += [[0, 0], [1, 0], [1, 1], [0, 1]]
+        return (np.asarray(v, np.float32), np.asarray(f, np.int32),
+                np.asarray(uv, np.float32))
+
+    rng_t = np.random.default_rng(seed + 1)
+    # Tree: trunk prism + 56 leaf cards = 122 tris.
+    tkv, tkf, tkuv = prism_arrays(-0.18, -0.18, 0.18, 0.18, 0.0, 2.2)
+    trunk = TriangleMesh(vertices=tkv, faces=tkf, uvs=tkuv,
+                         material=m_bark)
+    lv, lf, luv = card_stack(56, 1.4, 1.6, 4.2, rng_t)
+    tree_leaves = TriangleMesh(vertices=lv, faces=lf, uvs=luv,
+                               material=m_leaf)
+    bush_v, bush_f, bush_uv = card_stack(14, 0.9, 0.0, 1.3, rng_t)
+    bush = TriangleMesh(vertices=bush_v, faces=bush_f, uvs=bush_uv,
+                        material=m_leaf)
+    grass_v, grass_f, grass_uv = card_stack(22, 0.5, 0.0, 0.7, rng_t)
+    grass = TriangleMesh(vertices=grass_v, faces=grass_f, uvs=grass_uv,
+                         material=m_leaf)
+
+    def place(k, sc_lo, sc_hi):
+        ts = []
+        for _ in range(k):
+            x = float(rng.uniform(-S + 2, S - 2))
+            z = float(rng.uniform(-S + 2, S - 2))
+            y = float(0.35 * np.sin(x * 0.35) * np.cos(z * 0.3)
+                      + 0.15 * np.sin(x * 1.1 + 2.0))
+            s = float(rng.uniform(sc_lo, sc_hi))
+            ang = float(rng.uniform(0, 2 * np.pi))
+            ca, sa = np.cos(ang), np.sin(ang)
+            t = np.array([[s * ca, 0, s * sa, x],
+                          [0, s, 0, y],
+                          [-s * sa, 0, s * ca, z],
+                          [0, 0, 0, 1]], np.float32)
+            ts.append(t)
+        return ts
+
+    # Instance counts scaled to the triangle target.
+    per_tree = len(tkf) + len(lf)
+    per_bush = len(bush_f)
+    per_grass = len(grass_f)
+    remaining = max(target_tris - n_eff, 0)
+    n_tree = int(remaining * 0.45 / per_tree)
+    n_bush = int(remaining * 0.25 / per_bush)
+    n_grass = int(remaining * 0.30 / per_grass)
+    tree_t = place(n_tree, 0.7, 1.5)
+    scene.add_instances(trunk, tree_t)
+    scene.add_instances(tree_leaves, tree_t)
+    scene.add_instances(bush, place(n_bush, 0.6, 1.3))
+    scene.add_instances(grass, place(n_grass, 0.5, 1.1))
+    n_eff += (n_tree * per_tree + n_bush * per_bush + n_grass * per_grass)
+    scene.effective_tris = n_eff
+
+    # --- sky + lights -----------------------------------------------------
+    scene.hdri = make_sky_gradient(64, 128)
+    scene.env_color = (1.0, 1.0, 1.0)
+    warm = AreaLight(color=(1.0, 0.85, 0.6), intensity=6.0)
+    warm.rotate("x", 90).scale(3.0).move(-4.0, 10.0, 8.0)
+    cool = AreaLight(color=(0.6, 0.75, 1.0), intensity=4.0)
+    cool.rotate("x", 110).scale(2.2).move(6.0, 9.0, -4.0)
+    sun = DirectionalLight(direction=(0.35, 0.8, 0.45),
+                           color=(1.0, 0.95, 0.85), intensity=0.7)
+    scene.add(warm, cool, sun)
+    return scene
+
+
 def textured_obj(cache_dir: str | None = None) -> Scene:
     """Flagship textured-PBR scene through the FULL asset pipeline.
 
