@@ -37,8 +37,14 @@ ITERS = int(os.environ.get("FRAME_ITERS", "4"))
 def timed(fn, *args):
     out = fn(*args)
     jax.block_until_ready(out)
+    # Throwaway batch + MATERIALIZED timing (PERF.md measurement rule):
+    # un-materialized pipelined timings through the axon tunnel
+    # intermittently under-report ~1000x; the first pipelined batch after
+    # compile also reads ~20% high — discard it.
+    float(jnp.sum(jax.tree_util.tree_leaves(fn(*args))[0]))
     t0 = time.perf_counter()
     outs = [fn(*args) for _ in range(ITERS)]
+    _ = float(jnp.sum(jax.tree_util.tree_leaves(outs[-1])[0]))
     jax.block_until_ready(outs)
     return (time.perf_counter() - t0) / ITERS
 
@@ -48,12 +54,27 @@ def main():
     gpu = scene.compile()
     frame = scene.camera.viewport_frame(W, H)
 
-    # Reference-parity frame: 1 spp (interactive), 3 shadow samples/tri.
+    # THE reference-default frame (raygen.rgen:8-9 NUM_SAMPLES=4 +
+    # 3 stochastic shadow samples per light tri): the parity headline.
+    cfg_ref = RenderConfig(width=W, height=H, primary_rays=4, shadow_rays=3)
+    full_ref = timed(jax.jit(lambda g, f: render_pipeline_gpu(g, f, cfg_ref,
+                                                              0)),
+                     gpu, frame)
+    print(f"pipeline REF sampling (4 primary x 3 shadow): "
+          f"{full_ref*1e3:.0f} ms ({1.0/full_ref:.2f} fps)", flush=True)
+
+    # Interactive frame: 1 spp, 3 shadow samples/tri.
     cfg1 = RenderConfig(width=W, height=H, primary_rays=1, shadow_rays=3)
     full1 = timed(jax.jit(lambda g, f: render_pipeline_gpu(g, f, cfg1, 0)),
                   gpu, frame)
     print(f"pipeline 1spp: {full1*1e3:.0f} ms ({1.0/full1:.2f} fps)",
           flush=True)
+
+    # Near-parity fast preset (SSIM -0.002 vs sr=3, PERF.md): sr=2.
+    cfg2 = RenderConfig(width=W, height=H, primary_rays=1, shadow_rays=2)
+    full2 = timed(jax.jit(lambda g, f: render_pipeline_gpu(g, f, cfg2, 0)),
+                  gpu, frame)
+    print(f"pipeline 1spp sr=2: {full2*1e3:.0f} ms", flush=True)
 
     # Config 4: multi-bounce wavefront, 4 spp.
     cfg4 = RenderConfig(width=W, height=H, primary_rays=4, shadow_rays=1,
@@ -66,7 +87,9 @@ def main():
           f"(~{rays/wf/1e6:.0f} Mrays/s incl. shadows)", flush=True)
 
     out = {
+        "pipeline_ref_sampling_4x3_ms": full_ref * 1e3,
         "pipeline_1spp_ms": full1 * 1e3,
+        "pipeline_1spp_sr2_fast_ms": full2 * 1e3,
         "wavefront_4spp_2bounce_ms": wf * 1e3,
         "device": str(jax.devices()[0]),
     }

@@ -60,6 +60,39 @@ def sharded_shade(
     return fn(gpu, origins, dirs, pixel_seed)
 
 
+def wavefront_sample_sharded(
+    gpu: GPUScene,
+    cfg: RenderConfig,
+    origins: jnp.ndarray,     # (R, 3), R divisible by mesh size
+    dirs: jnp.ndarray,
+    pixel_seed: jnp.ndarray,  # (R,)
+    mesh: jax.sharding.Mesh,
+    sample_index: int = 0,
+) -> jnp.ndarray:
+    """One multi-bounce wavefront sample (render/wavefront.trace_paths)
+    with the path state sharded over the mesh, scene replicated.
+
+    Each shard runs the full bounce loop on its own rays, including its
+    own octant+Morton coherence reorder — the sort is a per-shard perf
+    permutation, so device count never changes results (paths are
+    independent; RNG seeds ride with the rays).  Returns (R, 3) linear
+    radiance, ray-sharded."""
+    from realtimeraytracer_tpu.render.wavefront import trace_paths
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS)),
+        out_specs=P(RAY_AXIS),
+        check_vma=False,   # same rationale as sharded_shade
+    )
+    def fn(g, o, d, seed):
+        backend = make_backend(g, cfg)
+        return trace_paths(g, cfg, o, d, seed, backend, sample_index)
+
+    return fn(gpu, origins, dirs, pixel_seed)
+
+
 def render_components_sharded(
     gpu: GPUScene,
     frame: ViewportFrame,

@@ -382,12 +382,22 @@ def _tile_body(b, rays_ref, sup_ref, blk_ref, coeff_ref, outf_ref, outi_ref,
         l1 = jnp.minimum(nexts & SMASK, nl1 - 1)
         if instanced:
             # (instance, super) pair: fetch the instance transform and
-            # this super's mesh-space panel/coefficient bases from SMEM,
-            # then transform the tile's ray columns into mesh space ONCE.
-            inst = tab_ref[l1, 0]
-            bp = tab_ref[l1, 1]
-            bbase = tab_ref[l1, 2]
-            ir = [inv_ref[inst, k] for k in range(12)]
+            # this super's mesh-space panel/coefficient bases, then
+            # transform the tile's ray columns into mesh space ONCE.
+            # SMEM packing (r5): SMEM 2-D arrays pad the MINOR dim to 128
+            # elements (512 B/row — a (PP, 4) tab at 2.7k pairs is
+            # 1.4 MB, over the 1 MB SMEM), so the tab is TRANSPOSED
+            # (2, PP) packed words (row0 = inst, row1 = blk_panel |
+            # block_base << 16 — 21 KB) and the (I, 12) instance
+            # transforms live in VMEM, read per pair as one row + 12
+            # lane extracts (amortized over the pair's whole visit loop;
+            # the flagship's 2.6k instances would need 16 MB as SMEM).
+            inst = tab_ref[0, l1]
+            w1 = tab_ref[1, l1]
+            bp = w1 & 0xFFFF
+            bbase = jax.lax.shift_right_logical(w1, 16)
+            irow = inv_ref[jnp.minimum(inst, inv_ref.shape[0] - 1)]
+            ir = [irow[k] for k in range(12)]
             oc = [ir[3 * i + 0] * wo[0] + ir[3 * i + 1] * wo[1]
                   + ir[3 * i + 2] * wo[2] + ir[9 + i] for i in range(3)]
             dc = [ir[3 * i + 0] * wd[0] + ir[3 * i + 1] * wd[1]
@@ -671,9 +681,13 @@ def trace_blocks_hier(gpu: GPUScene, cfg: RenderConfig, ray_blocks, mode,
         in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)]
         inputs += [amask]
     if instanced:
+        # Packed 2-word pair tab (see _tile_body) + VMEM transforms.
+        tab = gpu.pair_tab
+        tab_packed = jnp.stack(
+            [tab[:, 0], tab[:, 1] | (tab[:, 2] << 16)], axis=0)
         in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM),   # pair_tab
-                     pl.BlockSpec(memory_space=pltpu.SMEM)]   # inst_inv
-        inputs += [gpu.pair_tab, gpu.inst_inv]
+                     pl.BlockSpec(memory_space=pltpu.VMEM)]   # inst_inv
+        inputs += [tab_packed, gpu.inst_inv]
     if hinted:
         hn = hints.shape[1]
         if hints.shape[0] < tsp:

@@ -52,6 +52,29 @@ class TestShardedEquivalence:
         assert img.shape == (32, 32, 3)
         assert np.isfinite(np.asarray(img)).all()
 
+    def test_sharded_wavefront_matches_single_device(self):
+        """Multi-bounce wavefront step sharded over 8 devices == the
+        single-device trace_paths bit-for-bit (paths are independent;
+        per-shard coherence reorders are pure perf permutations)."""
+        from realtimeraytracer_tpu.ops.camera_rays import generate_rays
+        from realtimeraytracer_tpu.parallel.sharded import (
+            wavefront_sample_sharded,
+        )
+        from realtimeraytracer_tpu.render.wavefront import trace_paths
+
+        cfg = CFG.replace(max_bounces=2, denoise_iterations=0)
+        scene = scenes.cornell_box()
+        gpu = scene.compile()
+        frame = scene.camera.viewport_frame(cfg.width, cfg.height)
+        o, d = generate_rays(frame, cfg.width, cfg.height, jitter=False)
+        seed = jnp.arange(o.shape[0], dtype=jnp.uint32)
+        mesh = make_ray_mesh(8)
+
+        single = trace_paths(gpu, cfg, o, d, seed)
+        sharded = wavefront_sample_sharded(gpu, cfg, o, d, seed, mesh)
+        np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
+                                   atol=1e-5)
+
 
 class TestShardedGradients:
     def test_psum_grads_match_single_device(self):
