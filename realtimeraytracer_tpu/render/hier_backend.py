@@ -78,7 +78,12 @@ BT = 8               # ray tiles per grid step
 BIG = 3.0e38
 EPS = 1e-12
 INVALID = 0x7F800000  # +inf bits: "no candidate left"
-SMASK = 0x3FF         # low bits carrying ids inside packed entry keys
+# Low bits carrying ids inside packed entry keys: 12 bits covers the
+# SPAGES*128 = 3072 L1 pair/super ids (r5 — 10 bits silently corrupted
+# ids >= 1024 once SPAGES grew past 8).  Clearing 12 entry-mantissa bits
+# only rounds entries DOWN (~2^-11 relative), which stays conservative
+# for the ordered-visit stop rule: extra tail visits, never missed ones.
+SMASK = 0xFFF
 # L1 key rows in scratch: SPAGES*128 supers / (instance, super) pairs max.
 # 24 pages = 3072 pairs covers reference-scale instanced scenes (the r5
 # foliage_field flagship carries ~2.6k pairs); non-instanced scenes only
@@ -227,7 +232,7 @@ def _tile_body(b, rays_ref, sup_ref, blk_ref, coeff_ref, outf_ref, outi_ref,
         ok = valid & (near <= far) & (far >= tmin_c) & (near <= limit)
         if count_order:
             cnt = jnp.sum(ok.astype(F32), axis=0, keepdims=True)  # (1, 128)
-            key = ((jnp.int32(TILE) - cnt.astype(I32)) << 10) \
+            key = ((jnp.int32(TILE) - cnt.astype(I32)) << 12) \
                 | (lane_row + base_id)
             return jnp.where(cnt > 0.0, key, INVALID)
         ent = jnp.where(ok, jnp.maximum(near, 0.0), jnp.float32(jnp.inf))

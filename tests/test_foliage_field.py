@@ -83,3 +83,25 @@ class TestGoldenVsBaked:
         oi = np.asarray(be_i.occluded(o, d, 1e-3, 30.0))
         ob = np.asarray(be_b.occluded(o, d, 1e-3, 30.0))
         np.testing.assert_array_equal(oi, ob)
+
+    def test_beyond_1024_pairs(self):
+        """L1 ids past 1024 (r5 regression: 10-bit SMASK silently
+        corrupted pair ids >= 1024 once SPAGES grew).  Full-scale scene
+        (2.7k pairs), a handful of rays through the far id range."""
+        from realtimeraytracer_tpu.render.hier_backend import SMASK
+
+        s = scenes.foliage_field()
+        gpu = s.compile()
+        assert gpu.pair_tab.shape[0] > 1024 <= SMASK
+        cfg = RenderConfig(alpha_test=False, backend="hier")
+        be_i = make_backend(gpu, cfg)
+        # Oracle: baked BRUTE force — exact at any scale (the wide
+        # backend's max_cluster_visits clip is not trustworthy at 120k).
+        be_b = make_backend(s.compile(bake_instances=True),
+                            cfg.replace(backend="brute"))
+        o, d = self._rays(r=64)
+        hi = be_i.closest(o, d, 1e-3, 1e4)
+        hb = be_b.closest(o, d, 1e-3, 1e4)
+        ti, tb = np.asarray(hi.t), np.asarray(hb.t)
+        ok = np.abs(ti - tb) <= np.maximum(1e-3, tb * 1e-4)
+        assert ok.all(), f"{(~ok).sum()} rays disagree"
