@@ -55,6 +55,13 @@ class RenderConfig:
     denoise_n_phi: float = 0.001    # normal phi
     denoise_p_phi: float = 0.001    # position phi
 
+    # Memory fence between stochastic shadow samples (r5): bounds the
+    # XLA scheduler's live set to ~one occlusion query — required for
+    # alpha-laddered frames at reference scale (the 120k-tri instanced
+    # flagship OOMs HBM at 1080p without it), neutral semantics.
+    # None = auto (enabled exactly when the alpha ladder is active).
+    serialize_shadow_samples: bool | None = None
+
     # Tonemap: "aces" (analytic, ref raygen.rgen:51-59), "lut", or "none".
     tonemap: str = "aces"
     gamma: float = 2.2

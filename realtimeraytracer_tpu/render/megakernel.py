@@ -294,6 +294,20 @@ def shade_sample(
             contrib = brdf * radiance * inv_pdf
             shadowed_sum = shadowed_sum + lit * contrib
             unshadowed_sum = unshadowed_sum + contrib
+            # None = auto: fence exactly when the alpha ladder is active
+            # (render_pipeline resolves alpha_test=None before this).
+            if (cfg.serialize_shadow_samples
+                    if cfg.serialize_shadow_samples is not None
+                    else bool(cfg.alpha_test)):
+                # Memory fence between stochastic samples: the alpha
+                # re-trace ladder holds ~7 closest traces' worth of
+                # (Ts, 8, 128) buffers per occlusion query, and XLA's
+                # scheduler happily overlaps QUERIES until the composed
+                # frame exhausts HBM at reference scale (r5: the 120k-tri
+                # instanced flagship OOM'd at 1080p).  The barrier bounds
+                # the live set to one query per step; semantics unchanged.
+                shadowed_sum, unshadowed_sum = jax.lax.optimization_barrier(
+                    (shadowed_sum, unshadowed_sum))
         if use_sort:
             both = jnp.concatenate(
                 [shadowed_sum, unshadowed_sum], axis=1)[inv_order]
